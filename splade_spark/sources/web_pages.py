@@ -1,0 +1,63 @@
+"""web_pages input table — deterministic derivation from documents.parquet.
+
+Schema per BASELINE.json input_hint:
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+
+Generation rules are FIXTURES.md §1 (seedless — a pure function of the driver
+fixture), replacing the reference's irreproducible LLM corpus generator
+(/root/reference/generate_documents.py:31-69, SURVEY.md §1.4):
+
+    url     = f"https://{source}.example.com/doc/{doc_id}"
+    warc_ts = 2024-10-22T00:00:00Z + doc_id seconds
+    html    = wrap_html(text)  (extractor-invertible)
+    text    = documents.text verbatim
+    lang    = documents.lang
+
+``replicate`` > 1 deterministically scales the corpus for bench runs: copy k
+gets url suffix ``?copy={k}`` and shifted warc_ts — distinct pages, identical
+text distribution (no external data; TESTDATA.md fixtures only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import BinaryType
+
+import pandas as pd
+
+_EPOCH = "2024-10-22 00:00:00"
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _wrap_udf():
+    from splade_spark.text.extractor import wrap_html
+
+    @F.pandas_udf(BinaryType())
+    def _wrap(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: wrap_html(t if t is not None else ""))
+
+    return _wrap
+
+
+def web_pages_from_documents(docs: DataFrame, replicate: int = 1) -> DataFrame:
+    """documents(doc_id,text,lang,source,n_chars) → web_pages(url,warc_ts,html,text,lang)."""
+    base = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")).alias("url"),
+        (F.to_timestamp(F.lit(_EPOCH)) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        _wrap_udf()(F.col("text")).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    if replicate <= 1:
+        return base
+    copies = base.sparkSession.range(replicate).withColumnRenamed("id", "copy")
+    return base.crossJoin(copies).select(
+        F.concat(F.col("url"), F.lit("?copy="), F.col("copy")).alias("url"),
+        (F.col("warc_ts") + F.make_interval(hours=F.col("copy").cast("double"))).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )

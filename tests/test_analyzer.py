@@ -1,0 +1,117 @@
+"""Analyzer + stemmer goldens (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from splade_spark.config import AnalyzerConfig
+from splade_spark.text.analyzer import analyze_series, analyze_text
+from splade_spark.text.porter2 import stem
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "analyzer.jsonl")
+
+
+# Porter2 behavior pinned on words whose stems follow directly from the
+# published algorithm definition (exceptions list, steps 1a/1b/2/3/4).
+STEM_VECTORS = {
+    # exceptional forms (algorithm's explicit table)
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "atlas": "atlas", "bias": "bias",
+    # 1a invariants-after
+    "inning": "inning", "proceed": "proceed", "exceed": "exceed",
+    # step 1a
+    "caresses": "caress", "ties": "tie", "cries": "cri",
+    "gaps": "gap", "gas": "gas",
+    # step 1b
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail", "filing": "file",
+    # 1c
+    "happy": "happi", "cry": "cri", "by": "by", "say": "say",
+    # step 2-4 families
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "format", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "communism": "communism", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+    # step 5
+    "rate": "rate", "cease": "ceas",
+    # short words untouched
+    "a": "a", "be": "be", "ox": "ox",
+}
+
+
+def test_porter2_vectors():
+    bad = {w: (stem(w), want) for w, want in STEM_VECTORS.items() if stem(w) != want}
+    assert not bad, f"stemmer mismatches: {bad}"
+
+
+def test_analyze_basic():
+    cfg = AnalyzerConfig()
+    assert analyze_text("The quick brown foxes were RUNNING fast!") == [
+        "quick", "brown", "fox", "run", "fast",
+    ]
+    assert analyze_text("") == []
+    assert analyze_text(None) == []
+    # stopword-only
+    assert analyze_text("the and of is", cfg) == []
+    # numerals + punctuation runs
+    assert analyze_text("v2.0-beta!!! 42 times", cfg) == ["v2", "0", "beta", "42", "time"]
+    # unicode NFC + non-latin chars split tokens ("ve" is a frozen stopword)
+    assert analyze_text("café naïve") == ["caf", "na"]
+
+
+def test_analyze_nostem_mode():
+    cfg = AnalyzerConfig(stem=False)
+    assert analyze_text("The quick brown foxes were RUNNING fast!", cfg) == [
+        "quick", "brown", "foxes", "running", "fast",
+    ]
+
+
+def test_analyze_series_matches_scalar():
+    texts = pd.Series(
+        ["Hello World", None, "", "running runs ran", "THE the The", "spark JOINS windows"]
+    )
+    for cfg in (AnalyzerConfig(), AnalyzerConfig(stem=False)):
+        vec = analyze_series(texts, cfg).tolist()
+        scalar = [analyze_text(t, cfg) for t in texts]
+        assert vec == scalar
+
+
+def test_golden_file():
+    """Frozen golden token streams — regenerate ONLY with a documented spec change."""
+    assert os.path.exists(GOLDEN), "run tests/make_goldens.py"
+    with open(GOLDEN) as f:
+        cases = [json.loads(line) for line in f]
+    assert len(cases) >= 25
+    for case in cases:
+        cfg = AnalyzerConfig(stem=case.get("stem", True))
+        assert analyze_text(case["input"], cfg) == case["tokens"], case["input"]
+
+
+def test_analyze_udf_matches(spark):
+    from splade_spark.text.udfs import analyze_udf
+
+    texts = ["Running quickly", "the AND of", "spark streams 123", None, ""]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["toks"] for r in df.select(analyze_udf()("text").alias("toks")).collect()]
+    assert got == [analyze_text(t) for t in texts]
