@@ -1,0 +1,73 @@
+"""web_pages → chunk docs.
+
+Replaces the reference's driver-memory ``preprocess_documents``
+(/root/reference/ingest.py:86-97) with a distributed stage: one Arrow-batched
+pandas UDF does extract→split→doc-id in a single JVM↔Python crossing, then
+``inline`` explodes chunks JVM-side. Chunk identity is the deterministic
+``doc_id = xxh64(url, chunk_idx)`` (SURVEY.md §1.4 — replaces uuid4 at
+/root/reference/ingest.py:139).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from splade_spark.config import EngineConfig, DEFAULT
+from splade_spark.text.extractor import extract_text_bytes
+from splade_spark.text.hashing import chunk_doc_id
+from splade_spark.text.splitter import split_text
+from splade_spark.text.udfs import analyze_udf
+
+_CHUNK_STRUCT = ArrayType(
+    StructType(
+        [
+            StructField("chunk_idx", IntegerType()),
+            StructField("doc_id", LongType()),
+            StructField("chunk", StringType()),
+        ]
+    )
+)
+
+
+def _chunk_rows_udf(chunk_size: int, chunk_overlap: int, from_html: bool):
+    @F.pandas_udf(_CHUNK_STRUCT)
+    def _chunk(url: pd.Series, payload: pd.Series) -> pd.Series:
+        out = []
+        for u, p in zip(url, payload):
+            text = extract_text_bytes(p) if from_html else (p or "")
+            chunks = split_text(text, chunk_size, chunk_overlap)
+            out.append(
+                [(i, chunk_doc_id(u, i), c) for i, c in enumerate(chunks)]
+            )
+        return pd.Series(out)
+
+    return _chunk
+
+
+def chunk_pages(pages: DataFrame, cfg: EngineConfig = DEFAULT, use_html: bool = True) -> DataFrame:
+    """web_pages(url, …, html, text, …) → (url, chunk_idx, doc_id, text).
+
+    ``use_html=True`` runs the extractor on the binary column (the production
+    path); ``use_html=False`` chunks the ``text`` column directly.
+    """
+    payload = F.col("html") if use_html else F.col("text")
+    udf = _chunk_rows_udf(cfg.chunk_size, cfg.chunk_overlap, use_html)
+    return pages.select(
+        F.col("url"),
+        F.inline(udf(F.col("url"), payload)),
+    ).withColumnRenamed("chunk", "text")
+
+
+def docs_from_chunks(chunks: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Attach analyzed tokens + doclen → docs(doc_id, url, chunk_idx, text, tokens, doclen)."""
+    return chunks.select(
+        "doc_id",
+        "url",
+        "chunk_idx",
+        "text",
+        analyze_udf(cfg.analyzer)(F.col("text")).alias("tokens"),
+    ).withColumn("doclen", F.size("tokens"))

@@ -1,0 +1,81 @@
+"""Index build orchestration — logical (DataFrame) level.
+
+Composes the build stages (SURVEY.md §3.1 Spark lifecycle):
+
+    web_pages → chunk(extract+split+doc_id UDF, inline)
+             → analyze (UDF) → tf groupBy (A1, shuffle #1)
+             → corpus_stats + dictionary (A2/B3)
+             → impacts (B4, codegen column math)
+             → postings_long (J: dictionary term→term_id)
+
+Physical segment packing / persistence lives in build/segments.py; this module
+produces the logical frames shared by both the naive query path and the
+block packer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from splade_spark.build.chunker import chunk_pages, docs_from_chunks
+from splade_spark.build.postings import doc_impacts, postings_long, term_freqs
+from splade_spark.build.stats import build_dictionary, compute_corpus_stats
+from splade_spark.config import EngineConfig, DEFAULT
+
+
+@dataclass
+class IndexFrames:
+    """Logical index: the four engine tables (SURVEY.md §1.3) as DataFrames."""
+
+    docs: DataFrame          # (doc_id, url, chunk_idx, text, tokens, doclen)
+    corpus_stats: DataFrame  # (n_docs, avgdl)
+    dictionary: DataFrame    # (term, term_id, df, idf)
+    postings: DataFrame      # (term_id, doc_id, impact, tf)
+
+
+def _assemble(docs: DataFrame, cfg: EngineConfig, salted: bool) -> IndexFrames:
+    docs = docs.cache()
+    stats = compute_corpus_stats(docs).cache()
+    tf = term_freqs(docs)
+    dictionary = build_dictionary(tf, stats, cfg, salted=salted).cache()
+    impacts = doc_impacts(tf, stats, cfg)
+    postings = postings_long(impacts, dictionary)
+    return IndexFrames(docs, stats, dictionary, postings)
+
+
+def build_index_frames(
+    pages: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    use_html: bool = True,
+    salted: bool = True,
+) -> IndexFrames:
+    """Full pipeline from web_pages(url, warc_ts, html, text, lang)."""
+    docs = docs_from_chunks(chunk_pages(pages, cfg, use_html=use_html), cfg)
+    return _assemble(docs, cfg, salted)
+
+
+def build_index_from_docs(
+    doc_rows: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    salted: bool = True,
+) -> IndexFrames:
+    """Pipeline over pre-chunked rows (doc_id long, text string) — no splitter.
+
+    Used for the DuckDB oracle gate, where each documents.parquet row is one
+    retrieval unit (all fixture docs are < chunk_size anyway).
+    """
+    from splade_spark.text.udfs import analyze_udf
+
+    docs = (
+        doc_rows.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("url"),
+            F.lit(0).alias("chunk_idx"),
+            "text",
+            analyze_udf(cfg.analyzer)(F.col("text")).alias("tokens"),
+        )
+        .withColumn("doclen", F.size("tokens"))
+    )
+    return _assemble(docs, cfg, salted)

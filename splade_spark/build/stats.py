@@ -1,0 +1,83 @@
+"""Corpus stats + dictionary (BM25 fit — SURVEY.md §2.3 B3).
+
+Semantics of ``BM25SparseEmbedding(corpus)`` fit (instantiated at
+/root/reference/main.py:64, eval.py:105, ingest.py:124; pinned milvus-model
+0.2.5 / rank-bm25 semantics):
+
+    N      = number of docs
+    avgdl  = mean token count per doc
+    df(t)  = number of docs containing t
+    raw_idf(t) = ln((N - df + 0.5) / (df + 0.5))
+    idf(t) = raw_idf if raw_idf >= 0 else epsilon * avg(raw_idf over all terms)
+    term_id: dense ints ordered by (df desc, term asc) — deterministic,
+             replacing the reference dictionary's insertion order (§1.4)
+
+Everything here is plain Catalyst column math — whole-stage codegen, no UDFs.
+
+Skew note (SURVEY.md §4): ``groupBy(term)`` on a Zipfian corpus has head-term
+skew. ``salted=True`` (default) computes df in two phases —
+``groupBy(term, salt)`` partial counts then ``groupBy(term)`` final sum — so
+no single reducer sees a whole head term. Spark's partial aggregation already
+combines map-side; the explicit salt additionally bounds the final-stage key
+width and is the pattern that holds at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from splade_spark.config import EngineConfig, DEFAULT
+
+
+def compute_corpus_stats(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, …, doclen) → single row (n_docs long, avgdl double)."""
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("doclen").cast("double").alias("avgdl"),
+    )
+
+
+def build_dictionary(
+    tf: DataFrame,
+    corpus_stats: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    salted: bool = True,
+) -> DataFrame:
+    """tf(doc_id, term, tf) → dictionary(term, term_id int, df long, idf double).
+
+    ``tf`` already has one row per (doc, term), so df = row count per term.
+    """
+    if salted:
+        partial = (
+            tf.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)))
+            .groupBy("term", "_salt")
+            .agg(F.count(F.lit(1)).alias("_pdf"))
+        )
+        df = partial.groupBy("term").agg(F.sum("_pdf").cast("long").alias("df"))
+    else:
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    with_n = df.crossJoin(F.broadcast(corpus_stats.select("n_docs")))
+    raw = with_n.withColumn(
+        "raw_idf",
+        F.log((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+    )
+    avg_idf = raw.agg(F.avg("raw_idf").alias("avg_raw_idf"))
+    floored = raw.crossJoin(F.broadcast(avg_idf)).withColumn(
+        "idf",
+        F.when(F.col("raw_idf") < 0, F.lit(cfg.epsilon) * F.col("avg_raw_idf")).otherwise(
+            F.col("raw_idf")
+        ),
+    )
+    # Deterministic dense term ids. Window over a single unbounded partition is
+    # acceptable ONLY because dictionaries are small relative to the corpus
+    # (vocab ≪ docs); at 10^12-doc scale the vocabulary still fits one stage
+    # (typ. <100M terms) — and zipWithIndex-style assignment can replace it.
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return floored.select(
+        "term",
+        (F.row_number().over(w) - 1).cast("int").alias("term_id"),
+        "df",
+        "idf",
+    )

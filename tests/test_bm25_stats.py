@@ -1,0 +1,110 @@
+"""BM25 fit/impact unit goldens on a 6-doc micro corpus (FIXTURES.md §4).
+
+Expected values are recomputed inline from the raw formulas (independent of
+both the engine and the oracle implementations).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.build.indexer import build_index_from_docs
+from splade_spark.config import EngineConfig
+from splade_spark.oracle import PandasOracle
+
+MICRO = [
+    (0, "spark joins tables fast"),
+    (1, "spark streams windows"),
+    (2, "tables scan fast fast"),
+    (3, "windows sort merge join"),
+    (4, "hash join hash join hash"),
+    (5, "spark spark spark"),
+]
+
+CFG = EngineConfig().with_analyzer(stem=False)  # keep tokens literal for hand math
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    df = spark.createDataFrame(MICRO, ["doc_id", "text"])
+    return build_index_from_docs(df, CFG)
+
+
+def test_corpus_stats(frames):
+    row = frames.corpus_stats.collect()[0]
+    assert row["n_docs"] == 6
+    # token counts: 4,3,4,4,5,3 (no stopwords present) → avgdl = 23/6
+    assert row["avgdl"] == pytest.approx(23 / 6)
+
+
+def test_dictionary_df_idf(frames):
+    d = {r["term"]: r for r in frames.dictionary.collect()}
+    # df by hand: spark:3 join:2(+joins? tokens: joins vs join distinct) …
+    # tokens are unstemmed: joins(d0), join(d3,d4) are DIFFERENT terms here.
+    assert d["spark"]["df"] == 3
+    assert d["fast"]["df"] == 2
+    assert d["join"]["df"] == 2
+    assert d["joins"]["df"] == 1
+    raw = lambda df_: math.log((6 - df_ + 0.5) / (df_ + 0.5))
+    assert d["joins"]["idf"] == pytest.approx(raw(1))
+    assert d["spark"]["idf"] == pytest.approx(raw(3))
+    # no negative raw idf in this corpus (spark: df=3, N=6 → idf=ln(1)=0 stays 0)
+    assert all(r["idf"] >= 0 for r in d.values())
+    assert d["spark"]["idf"] == 0.0
+    # term_id ordering: (df desc, term asc), dense from 0
+    ordered = sorted(d.values(), key=lambda r: r["term_id"])
+    keys = [(-(r["df"]), r["term"]) for r in ordered]
+    assert keys == sorted(keys)
+    assert [r["term_id"] for r in ordered] == list(range(len(ordered)))
+
+
+def test_epsilon_floor(spark):
+    """A term in >half the docs gets negative raw idf → epsilon * avg_raw_idf."""
+    docs = [(i, "common filler" if i else "common alone") for i in range(10)]
+    frames = build_index_from_docs(spark.createDataFrame(docs, ["doc_id", "text"]), CFG)
+    d = {r["term"]: r for r in frames.dictionary.collect()}
+    n = 10
+    raw = {t: math.log((n - r["df"] + 0.5) / (r["df"] + 0.5)) for t, r in d.items()}
+    avg_raw = sum(raw.values()) / len(raw)
+    assert raw["common"] < 0
+    assert d["common"]["idf"] == pytest.approx(0.25 * avg_raw)
+    assert d["alone"]["idf"] == pytest.approx(raw["alone"])
+
+
+def test_impacts(frames):
+    post = (
+        frames.postings.join(frames.dictionary.select("term", "term_id"), "term_id")
+        .select("term", "doc_id", "impact", "tf")
+        .collect()
+    )
+    got = {(r["term"], r["doc_id"]): (r["impact"], r["tf"]) for r in post}
+    k1, b, avgdl = 1.5, 0.75, 23 / 6
+    def imp(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    # hash appears 3× in doc 4 (len 5); fast 2× in doc 2 (len 4); spark 3× in doc 5 (len 3)
+    assert got[("hash", 4)][0] == pytest.approx(imp(3, 5)) and got[("hash", 4)][1] == 3
+    assert got[("fast", 2)][0] == pytest.approx(imp(2, 4))
+    assert got[("spark", 5)][0] == pytest.approx(imp(3, 3))
+    assert got[("spark", 0)][0] == pytest.approx(imp(1, 4))
+
+
+def test_salted_equals_unsalted(spark):
+    df = spark.createDataFrame(MICRO, ["doc_id", "text"])
+    a = build_index_from_docs(df, CFG, salted=True).dictionary
+    b = build_index_from_docs(df, CFG, salted=False).dictionary
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_oracle_agrees_on_micro(frames):
+    oracle = PandasOracle(CFG)
+    for did, text in MICRO:
+        oracle.add_doc(did, text)
+    oracle.fit()
+    d = {r["term"]: (r["df"], r["idf"], r["term_id"]) for r in frames.dictionary.collect()}
+    for term, df_ in oracle.df.items():
+        assert d[term][0] == df_
+        assert d[term][1] == pytest.approx(oracle.idf[term])
+        assert d[term][2] == oracle.term_id[term]
