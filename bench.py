@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Headline benchmark for splade_spark (driver contract).
+
+Runs the full index-build pipeline + BM25 top-k query phases at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"index_build": s, ...}, "sf": ...}
+
+Phases
+  index_build       web_pages → extract(HTML) → chunk → analyze → tf → impacts
+                    → postings_long, materialized to parquet (docs/sec in meta)
+  pack_blocks       postings_long → delta+varint block packing (segment format)
+  query_topk5_batch frozen 50-query set, naive DataFrame path, k=5 (warm)
+  query_wand_topk5  same query set over compressed blocks via block-max WAND
+  query_p95         per-query p95 latency over 10 single-query naive jobs
+
+Extra meta (docs/sec, postings/sec, qps, scaling inputs) goes to stderr; the
+stdout line stays the single driver-parsed JSON object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"splade_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str) -> dict:
+    """Run all phases on a fresh local[cpus] session; return timings + meta."""
+    from pyspark.sql import functions as F
+
+    from splade_spark.build.indexer import build_index_frames
+    from splade_spark.config import DEFAULT
+    from splade_spark.fixtures import queries_df
+    from splade_spark.query.naive import topk_naive
+    from splade_spark.sources.web_pages import read_documents, web_pages_from_documents
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+    try:
+        pages = web_pages_from_documents(
+            read_documents(spark, sf_dir), replicate=replicate
+        ).repartition(cpus * 2)
+        n_pages = pages.count()  # materialize input sizing outside the timed region
+
+        # -- index_build ----------------------------------------------------
+        t0 = time.monotonic()
+        frames = build_index_frames(pages, DEFAULT, use_html=True)
+        postings_path = os.path.join(workdir, f"postings_{cpus}")
+        frames.postings.write.mode("overwrite").parquet(postings_path)
+        frames.dictionary.cache().count()
+        timings["index_build"] = time.monotonic() - t0
+
+        postings = spark.read.parquet(postings_path).cache()
+        n_postings = postings.count()
+        n_docs = frames.docs.count()
+        meta["n_pages"] = n_pages
+        meta["n_chunk_docs"] = n_docs
+        meta["n_postings"] = n_postings
+        meta["build_docs_per_sec"] = n_pages / timings["index_build"]
+        meta["build_postings_per_sec"] = n_postings / timings["index_build"]
+
+        # -- pack_blocks ----------------------------------------------------
+        try:
+            from splade_spark.build.segments import pack_segment
+
+            t0 = time.monotonic()
+            blocks_path = os.path.join(workdir, f"blocks_{cpus}")
+            pack_segment(postings, DEFAULT).write.mode("overwrite").parquet(blocks_path)
+            timings["pack_blocks"] = time.monotonic() - t0
+            blocks = spark.read.parquet(blocks_path).cache()
+            meta["n_blocks"] = blocks.count()
+        except ImportError:
+            blocks = None
+
+        # -- query batch (naive) -------------------------------------------
+        queries = queries_df(spark)
+        # warm-up once (JIT/codegen/broadcast), then timed run
+        topk_naive(queries, postings, frames.dictionary, k=5, cfg=DEFAULT).count()
+        t0 = time.monotonic()
+        n_hits = topk_naive(queries, postings, frames.dictionary, k=5, cfg=DEFAULT).count()
+        timings["query_topk5_batch"] = time.monotonic() - t0
+        meta["n_hits"] = n_hits
+        meta["qps_batch"] = 50 / timings["query_topk5_batch"]
+
+        # -- query batch (WAND over blocks) --------------------------------
+        if blocks is not None:
+            try:
+                from splade_spark.query.wand import topk_wand
+
+                topk_wand(queries, blocks, frames.dictionary, k=5, cfg=DEFAULT).count()
+                t0 = time.monotonic()
+                topk_wand(queries, blocks, frames.dictionary, k=5, cfg=DEFAULT).count()
+                timings["query_wand_topk5"] = time.monotonic() - t0
+                meta["qps_wand"] = 50 / timings["query_wand_topk5"]
+            except ImportError:
+                pass
+
+        # -- per-query p95 (naive, 10 singleton jobs) ----------------------
+        lat = []
+        single = queries.limit(10).collect()
+        for row in single:
+            q = spark.createDataFrame([(row.query_id, row.text)], ["query_id", "text"])
+            t0 = time.monotonic()
+            topk_naive(q, postings, frames.dictionary, k=5, cfg=DEFAULT).count()
+            lat.append(time.monotonic() - t0)
+        lat.sort()
+        timings["query_p95"] = lat[max(0, int(len(lat) * 0.95) - 1)]
+        meta["query_p50"] = lat[len(lat) // 2]
+    finally:
+        spark.stop()
+    return {"timings": timings, "meta": meta}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    workdir = tempfile.mkdtemp(prefix="splade_bench_")
+    try:
+        res = run_bench(cpus, sf_dir, replicate, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    timings = res["timings"]
+    log(f"meta: {json.dumps(res['meta'])}")
+    out = {
+        "metric": "splade_spark index-build + BM25 top-k (naive & WAND) wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
