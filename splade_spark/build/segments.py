@@ -1,0 +1,350 @@
+"""Segmented physical index: block packing, persistence, lineage, resume, merge.
+
+Replaces Milvus' server-side segment management (insert/flush/create_index at
+/root/reference/ingest.py:132-172 and implicit compaction) with an explicit,
+Spark-native layout designed for 10^12-doc scale:
+
+* **Segment = hash partition of docs.** ``segment_id = pmod(xxhash64(doc_id),
+  n_segments)`` with ``n_segments = ceil(n_docs / cfg.segment_max_docs)``.
+  Hash assignment is deterministic, needs no global sort, and bounds every
+  per-(segment, term) applyInPandas group to ≤ segment_max_docs postings —
+  the head-term-skew cap from SURVEY.md §7 ("no single Python worker
+  materializes a full head-term posting list"). Each segment holds COMPLETE
+  posting lists for its own docs, so queries run per-segment in parallel and
+  merge top-k — the Milvus/Lucene execution model.
+
+* **Blocks.** Within (segment_id, term_id): docID-ascending postings split
+  into blocks of ``cfg.block_size``, delta+varint compressed (codec.py) with
+  per-block max_impact / first/last doc_id — the block-max WAND metadata.
+
+* **On-disk layout** (parquet in Iceberg-like layout; an Iceberg catalog can
+  be layered on via config when the runtime jar is present):
+
+      index_dir/corpus_stats/          singleton row
+      index_dir/dictionary/            (term, term_id, df, idf)
+      index_dir/docs/seg=K/            chunk store per segment
+      index_dir/blocks/seg=K/          posting blocks per segment
+      index_dir/_manifest/K.json       per-segment commit record (lineage +
+                                       metrics) — written ATOMICALLY after the
+                                       segment's data lands; its presence IS
+                                       the checkpoint.
+
+* **Resume.** ``build_segmented_index`` recomputes nothing for segments whose
+  manifest exists (kill the build after segment 1, rerun → segments 2..N only;
+  tests/test_segments.py).
+
+* **Merge.** ``merge_segments`` k-way merges posting lists by doc_id per term
+  (decode → concat → sort → re-block) via one grouped Arrow stage — the
+  distributed segment-merge stage required by the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from splade_spark.build.codec import (
+    decode_doc_ids, decode_impacts, encode_doc_ids, encode_impacts,
+)
+from splade_spark.config import EngineConfig, DEFAULT
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("segment_id", IntegerType()),
+        StructField("term_id", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("n_docs", IntegerType()),
+        StructField("max_impact", DoubleType()),
+        StructField("first_doc_id", LongType()),
+        StructField("last_doc_id", LongType()),
+        StructField("docs_bin", BinaryType()),
+        StructField("impacts_bin", BinaryType()),
+    ]
+)
+
+
+def n_segments_for(n_docs: int, cfg: EngineConfig = DEFAULT) -> int:
+    return max(1, math.ceil(n_docs / cfg.segment_max_docs))
+
+
+def with_segment_id(postings: DataFrame, n_segments: int) -> DataFrame:
+    """Attach deterministic hash-based segment_id to long-form postings."""
+    return postings.withColumn(
+        "segment_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)).cast("int")
+    )
+
+
+def _pack_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """One (segment_id, term_id) group → block rows. Vectorized numpy."""
+    seg = int(pdf["segment_id"].iloc[0])
+    tid = int(pdf["term_id"].iloc[0])
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+    impacts = pdf["impact"].to_numpy()[order].astype(np.float64)
+    rows = []
+    for b, start in enumerate(range(0, len(doc_ids), block_size)):
+        d = doc_ids[start : start + block_size]
+        w = impacts[start : start + block_size]
+        rows.append(
+            (
+                seg, tid, b, len(d), float(w.max()),
+                int(d[0]), int(d[-1]),
+                encode_doc_ids(d), encode_impacts(w),
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+
+def pack_segment(postings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """postings_long(term_id, doc_id, impact[, segment_id]) → block rows.
+
+    If ``segment_id`` is absent everything is packed as segment 0. The
+    groupBy keys on (segment_id, term_id), so group size ≤ segment docs —
+    skew-capped by construction.
+    """
+    if "segment_id" not in postings.columns:
+        postings = postings.withColumn("segment_id", F.lit(0))
+    block_size = cfg.block_size
+    return (
+        postings.select("segment_id", "term_id", "doc_id", "impact")
+        .groupBy("segment_id", "term_id")
+        .applyInPandas(lambda pdf: _pack_group(pdf, block_size), BLOCK_SCHEMA)
+    )
+
+
+def unpack_blocks(blocks: DataFrame) -> DataFrame:
+    """Inverse of pack_segment — block rows → long-form postings (for tests/merge)."""
+    out_schema = StructType(
+        [
+            StructField("segment_id", IntegerType()),
+            StructField("term_id", IntegerType()),
+            StructField("doc_id", LongType()),
+            StructField("impact", DoubleType()),
+        ]
+    )
+
+    def _unpack(iter_pdf):
+        for pdf in iter_pdf:
+            segs, tids, dids, imps = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                d = decode_doc_ids(r.docs_bin, r.n_docs)
+                w = decode_impacts(r.impacts_bin, r.n_docs)
+                segs.append(np.full(r.n_docs, r.segment_id, dtype=np.int32))
+                tids.append(np.full(r.n_docs, r.term_id, dtype=np.int32))
+                dids.append(d)
+                imps.append(w)
+            if not segs:
+                yield pd.DataFrame(
+                    {"segment_id": [], "term_id": [], "doc_id": [], "impact": []}
+                ).astype({"segment_id": "int32", "term_id": "int32",
+                          "doc_id": "int64", "impact": "float64"})
+                continue
+            yield pd.DataFrame(
+                {
+                    "segment_id": np.concatenate(segs),
+                    "term_id": np.concatenate(tids),
+                    "doc_id": np.concatenate(dids),
+                    "impact": np.concatenate(imps).astype(np.float64),
+                }
+            )
+
+    return blocks.mapInPandas(_unpack, out_schema)
+
+
+def merge_segments(blocks: DataFrame, cfg: EngineConfig = DEFAULT,
+                   target_segment_id: int = 0) -> DataFrame:
+    """K segments' blocks → one merged segment's blocks.
+
+    Decode → per-term concat+sort by doc_id → re-block. One shuffle keyed by
+    term_id; group memory is the merged term list, so callers cap how many
+    segments merge at once (compaction policy) at extreme scale.
+    """
+    long = unpack_blocks(blocks).withColumn(
+        "segment_id", F.lit(target_segment_id).cast("int")
+    )
+    return pack_segment(long, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Persistent segmented index with lineage + resume
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SegmentedIndex:
+    """Handle to an on-disk index (paths + lazily-read frames)."""
+
+    path: str
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifest")
+
+    def committed_segments(self) -> dict[int, dict]:
+        if not os.path.isdir(self.manifest_dir):
+            return {}
+        out = {}
+        for name in os.listdir(self.manifest_dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    rec = json.load(f)
+                out[int(rec["segment_id"])] = rec
+        return out
+
+    def corpus_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "corpus_stats"))
+
+    def dictionary(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "dictionary"))
+
+    def blocks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "blocks"))
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "docs"))
+
+    def segments_table(self, spark: SparkSession) -> DataFrame:
+        """The `segments` lineage/metrics table (SURVEY.md §1.3), from manifests."""
+        rows = list(self.committed_segments().values())
+        schema = StructType(
+            [
+                StructField("segment_id", IntegerType()),
+                StructField("status", StringType()),
+                StructField("n_docs", LongType()),
+                StructField("n_postings", LongType()),
+                StructField("bytes", LongType()),
+                StructField("built_ts", StringType()),
+                StructField("lineage", StringType()),
+            ]
+        )
+        data = [
+            (
+                int(r["segment_id"]), r["status"], int(r["n_docs"]),
+                int(r["n_postings"]), int(r["bytes"]), r["built_ts"], r["lineage"],
+            )
+            for r in rows
+        ]
+        return SparkSession.getActiveSession().createDataFrame(data, schema)
+
+
+def _commit_manifest(index: SegmentedIndex, rec: dict) -> None:
+    os.makedirs(index.manifest_dir, exist_ok=True)
+    tmp = os.path.join(index.manifest_dir, f".{rec['segment_id']}.json.tmp")
+    final = os.path.join(index.manifest_dir, f"{rec['segment_id']}.json")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, final)  # atomic commit — presence of this file = checkpoint
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def build_segmented_index(
+    pages: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    use_html: bool = True,
+    n_segments: int | None = None,
+    fail_after_segment: int | None = None,
+) -> SegmentedIndex:
+    """Full resumable build: web_pages → stats/dictionary → per-segment blocks.
+
+    Phase 0 (global fit, run once): chunk+analyze → corpus_stats + dictionary,
+    persisted. Phase 1 (per segment, checkpointed): impacts → pack → write →
+    manifest. Rerunning skips phase 0 if its outputs exist and skips any
+    segment with a committed manifest — that is the resume path; nothing
+    committed is recomputed.
+
+    ``fail_after_segment`` is a test hook: raise after committing that many
+    segments (simulates a mid-build crash for tests/test_segments.py).
+    """
+    from splade_spark.build.chunker import chunk_pages, docs_from_chunks
+    from splade_spark.build.postings import doc_impacts, postings_long, term_freqs
+    from splade_spark.build.stats import build_dictionary, compute_corpus_stats
+
+    spark = pages.sparkSession
+    index = SegmentedIndex(index_dir)
+    stats_path = os.path.join(index_dir, "corpus_stats")
+    dict_path = os.path.join(index_dir, "dictionary")
+    docs_path = os.path.join(index_dir, "docs")
+    fit_done = os.path.exists(os.path.join(stats_path, "_SUCCESS")) and os.path.exists(
+        os.path.join(dict_path, "_SUCCESS")
+    )
+
+    if not fit_done:
+        docs = docs_from_chunks(chunk_pages(pages, cfg, use_html=use_html), cfg)
+        docs.write.mode("overwrite").parquet(docs_path)  # chunk store (checkpoint 0a)
+        docs = spark.read.parquet(docs_path)
+        compute_corpus_stats(docs).write.mode("overwrite").parquet(stats_path)
+        stats = spark.read.parquet(stats_path)
+        tf = term_freqs(docs)
+        build_dictionary(tf, stats, cfg).write.mode("overwrite").parquet(dict_path)
+
+    docs = spark.read.parquet(docs_path)
+    stats = index.corpus_stats(spark)
+    dictionary = index.dictionary(spark).cache()
+
+    if n_segments is None:
+        n_segments = n_segments_for(stats.head().n_docs, cfg)
+
+    committed = index.committed_segments()
+    pending = [s for s in range(n_segments) if s not in committed]
+    if not pending:
+        return index
+
+    tf = term_freqs(docs)
+    impacts = doc_impacts(tf, stats, cfg)
+    long = with_segment_id(postings_long(impacts, dictionary), n_segments).cache()
+
+    done = 0
+    for seg in pending:
+        seg_long = long.filter(F.col("segment_id") == seg)
+        seg_blocks_path = os.path.join(index_dir, "blocks", f"seg={seg}")
+        blocks = pack_segment(seg_long, cfg)
+        t0 = time.monotonic()
+        blocks.write.mode("overwrite").parquet(seg_blocks_path)
+        elapsed = max(time.monotonic() - t0, 1e-9)
+        agg = seg_long.agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        ).head()
+        _commit_manifest(
+            index,
+            {
+                "segment_id": seg,
+                "status": "committed",
+                "n_docs": int(agg.n_docs),
+                "n_postings": int(agg.n_postings),
+                "bytes": _dir_bytes(seg_blocks_path),
+                "built_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "lineage": json.dumps(
+                    {
+                        "segment_of": n_segments,
+                        "assign": "pmod(xxhash64(doc_id), n_segments)",
+                        "cfg": {"block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b},
+                        "postings_per_sec": round(int(agg.n_postings) / elapsed, 1),
+                    }
+                ),
+            },
+        )
+        done += 1
+        if fail_after_segment is not None and done >= fail_after_segment:
+            long.unpersist()
+            raise RuntimeError(f"injected failure after segment {seg}")
+    long.unpersist()
+    return index
