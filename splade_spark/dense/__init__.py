@@ -1,0 +1,12 @@
+from splade_spark.dense.hash_embed import (
+    cosine_topk_sparse, hash_embed_docs, hash_embed_queries,
+)
+from splade_spark.dense.ann import brute_cosine_topk, lsh_cosine_topk
+
+__all__ = [
+    "hash_embed_docs",
+    "hash_embed_queries",
+    "cosine_topk_sparse",
+    "brute_cosine_topk",
+    "lsh_cosine_topk",
+]

@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths over ``embeddings(vec_id long, embedding array<float>, label int)``
+(/root/testdata fixture):
+
+* ``brute_cosine_topk`` — exact brute-force cosine top-k, the semantic
+  baseline. Mirrors the reference's dense FLAT index (= no index, exhaustive
+  scan with IP/cosine, /root/reference/ingest.py:159-161 ``FLAT`` +
+  retrievers.py:76-82 search). Dot products run JVM-side via the
+  ``zip_with``/``aggregate`` higher-order functions — no Python in the loop;
+  the query set is broadcast so the corpus is scanned once.
+
+* ``lsh_cosine_topk`` — the scale path: random-hyperplane LSH. Each vector
+  gets an ``n_planes``-bit signature (sign of dot with deterministic
+  pseudo-random hyperplanes derived from a seeded RNG); vectors sharing a
+  signature bucket are candidates; exact cosine is computed only within the
+  probed buckets. At 10^12 rows the bucket join replaces the full cross
+  product — cost drops from O(Q·N) to O(Q·N/2^bits) expected. Recall is
+  tunable via ``n_planes`` (fewer bits → bigger buckets → higher recall);
+  multi-probe (flipping one bit) is included to recover near-boundary
+  neighbors. Tested against the brute-force path for recall ≥ threshold
+  (tests/test_dense.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+ANN_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """queries(query_id, qvec array<float>) × embeddings → exact cosine top-k.
+
+    Returns (query_id, vec_id, score, rank). Excludes self-matches when the
+    query IS a corpus vector (query_id == vec_id), mirroring kNN conventions.
+    """
+    q = F.broadcast(queries.select("query_id", F.col("qvec").cast("array<double>").alias("qvec")))
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias(
+                "score"
+            ),
+        )
+    )
+    return _ranked(scored, k)
+
+
+def _planes_lit(dim: int, n_planes: int, table: int):
+    """Deterministic hyperplane matrix as a literal array-of-arrays column."""
+    rng = np.random.default_rng(ANN_SEED + table)
+    planes = rng.standard_normal((n_planes, dim))
+    return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in planes])
+
+
+def _signature(vec_col, planes_col, n_planes: int):
+    """Bit-pack sign(plane · vec) into a long signature."""
+    bits = F.transform(
+        planes_col, lambda plane: F.when(_dot(plane, vec_col) >= 0, 1).otherwise(0)
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b.cast("long")
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH cosine top-k: L independent tables of b bits
+    (OR-amplification) with a 1-bit multi-probe per table.
+
+    A vector pair colliding in ANY table becomes a candidate; exact cosine is
+    computed only for candidates (``dropDuplicates`` dedups cross-table
+    collisions before scoring joins fan out). Same output shape as
+    brute_cosine_topk; approximate in candidate generation only — returned
+    scores are exact cosines.
+    """
+    if dim is None:
+        dim = len(embeddings.select("embedding").head()[0])
+
+    e_base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    q_base = queries.select("query_id", F.col("qvec").cast("array<double>").alias("qvec"))
+
+    e_sigs, q_sigs = [], []
+    for t in range(n_tables):
+        planes = _planes_lit(dim, n_planes, t)
+        e_sigs.append(
+            e_base.select(
+                "vec_id",
+                F.lit(t).alias("table"),
+                _signature(F.col("vec"), planes, n_planes).alias("sig"),
+            )
+        )
+        sig0 = _signature(F.col("qvec"), planes, n_planes)
+        probes = F.array_union(
+            F.array(sig0),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda i: sig0.bitwiseXOR(F.pow(F.lit(2.0), i).cast("long")),
+            ),
+        )
+        q_sigs.append(
+            q_base.select(
+                "query_id", F.lit(t).alias("table"), F.explode(probes).alias("sig")
+            )
+        )
+
+    e_all = e_sigs[0]
+    for s in e_sigs[1:]:
+        e_all = e_all.unionByName(s)
+    q_all = q_sigs[0]
+    for s in q_sigs[1:]:
+        q_all = q_all.unionByName(s)
+
+    candidates = (
+        e_all.join(F.broadcast(q_all), ["table", "sig"])
+        .select("query_id", "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        candidates.join(e_base, "vec_id")
+        .join(F.broadcast(q_base), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias(
+                "score"
+            ),
+        )
+    )
+    return _ranked(scored, k)
