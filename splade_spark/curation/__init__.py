@@ -1,0 +1,48 @@
+"""Training-data curation operators over the documents/web_pages tables.
+
+Not present in the reference (a 5-doc RAG demo) — these are the operations a
+Common-Crawl-scale pipeline needs before indexing (task brief): exact and
+near deduplication, similarity search, text statistics / quality scoring,
+language ID, fingerprinting, and multimodal column plumbing.
+"""
+
+from splade_spark.curation.dedup import (
+    exact_dups,
+    minhash_lsh_candidates,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_tokens,
+    simhash64,
+    simhash_near_pairs,
+)
+from splade_spark.curation.textstats import (
+    langid_heuristic,
+    quality_scores,
+    token_stats,
+)
+from splade_spark.curation.fingerprint import winnow, winnow_fingerprints
+from splade_spark.curation.multimodal import (
+    byte_histogram_features,
+    decode_image,
+    sample_frames,
+)
+
+__all__ = [
+    "exact_dups",
+    "shingle_tokens",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_near_dup_pairs",
+    "simhash64",
+    "simhash_near_pairs",
+    "token_stats",
+    "quality_scores",
+    "langid_heuristic",
+    "winnow",
+    "winnow_fingerprints",
+    "byte_histogram_features",
+    "sample_frames",
+    "decode_image",
+]

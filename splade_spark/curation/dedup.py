@@ -1,0 +1,246 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hot paths are Catalyst column math / joins — no Python UDFs. Hashes that
+feed results use the md5-prefix portable hash (dense/hash_embed.py) so the
+DuckDB oracle replays them bit-exactly.
+
+Scale notes (100 TB):
+* exact_dups — one shuffle on the 16-byte text digest; combiner-friendly.
+* ngram_jaccard_pairs — the shingle self-join explodes quadratically inside a
+  shingle bucket; head shingles are capped (``max_shingle_df``) exactly like
+  stopword-adjacent terms in the index build. Use MinHash below when the
+  corpus is too big for the exact join.
+* minhash — signatures are a fixed H longs/doc regardless of doc size;
+  LSH bands shuffle on (band, band_signature): near-dup clusters co-locate,
+  everything else spreads uniformly. Candidate verification is exact Jaccard
+  on the candidate pairs only.
+* simhash — 64-bit signature per doc; banded (pigeonhole) join finds all
+  pairs within ``max_hamming`` ≤ 3 of each other for 4 bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from splade_spark.dense.hash_embed import portable_hash
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), arithmetic stays in long range
+SEED_SHINGLE = 101
+SEED_SIMHASH = 7
+
+
+def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, text_md5, canonical_id): canonical = min doc_id per digest.
+
+    Rows with doc_id != canonical_id are exact duplicates to drop.
+    """
+    hashed = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5"))
+    canon = hashed.groupBy("text_md5").agg(F.min("doc_id").alias("canonical_id"))
+    return hashed.join(canon, "text_md5").select("doc_id", "text_md5", "canonical_id")
+
+
+def shingle_tokens(docs: DataFrame, n: int = 3, tokens_col: str = "tokens") -> DataFrame:
+    """docs(doc_id, tokens) → distinct (doc_id, shingle) word n-grams.
+
+    Documents shorter than n tokens yield their whole token string as the
+    single shingle (so tiny docs still participate).
+    """
+    toks = F.col(tokens_col)
+    grams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame, threshold: float = 0.5, max_shingle_df: int | None = 1000
+) -> DataFrame:
+    """(doc_id, shingle) distinct rows → pairs (doc_a, doc_b, jaccard ≥ t).
+
+    Exact set Jaccard via inverted self-join: |A∩B| from the shingle join,
+    |A∪B| = |A| + |B| − |A∩B|. ``max_shingle_df`` drops shingles shared by
+    more than that many docs (boilerplate) before the quadratic join — the
+    skew cap; pass None to disable.
+    """
+    if max_shingle_df is not None:
+        df_ok = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(df_ok, "shingle")
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    )
+
+
+def _minhash_seed_df(spark, n_hashes: int) -> DataFrame:
+    """Deterministic (i, a, b) permutation parameters, a odd, from seed 42."""
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, MINHASH_PRIME, size=n_hashes, dtype=np.int64) | 1
+    b = rng.integers(0, MINHASH_PRIME, size=n_hashes, dtype=np.int64)
+    return spark.createDataFrame(
+        [(int(i), int(a[i]), int(b[i])) for i in range(n_hashes)], ["i", "a", "b"]
+    )
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = 64) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, i, sig): sig_i = min_s (a_i·h(s)+b_i mod p).
+
+    Long-form on purpose: the (shingle × H) expansion is a map-side
+    ``explode`` followed by a combiner-friendly min — no state bigger than a
+    row anywhere, which is what survives 10^12 docs.
+    """
+    seeds = _minhash_seed_df(shingled.sparkSession, n_hashes)
+    h = F.pmod(portable_hash(F.col("shingle"), SEED_SHINGLE), F.lit(MINHASH_PRIME))
+    return (
+        shingled.withColumn("h", h)
+        .crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "i")
+        .agg(F.min(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MINHASH_PRIME))).alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(signatures: DataFrame, n_bands: int = 16) -> DataFrame:
+    """(doc_id, i, sig) → candidate (doc_a, doc_b) sharing ≥1 LSH band."""
+    n_hashes = signatures.agg(F.max("i")).head()[0] + 1
+    rows_per_band = n_hashes // n_bands
+    banded = (
+        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("i"), F.col("sig"))
+        )))).alias("band_sig"))
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup: candidates verified by EXACT Jaccard.
+
+    The verification join touches only LSH candidates, so the quadratic exact
+    join never materializes at corpus scale.
+    """
+    shingled = shingle_tokens(docs, n)
+    candidates = minhash_lsh_candidates(minhash_signatures(shingled, n_hashes), n_bands)
+    exact = ngram_jaccard_pairs(shingled, threshold=0.0, max_shingle_df=None)
+    return (
+        exact.join(candidates, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, tokens_col: str = "tokens", bits: int = 60) -> DataFrame:
+    """docs(doc_id, tokens) → (doc_id, simhash long).
+
+    Classic SimHash: each term votes ±tf on every bit of its hash; the
+    signature's bit i is 1 iff the weighted sum is positive. 60 bits so the
+    value (and every band) stays inside a signed long for SQL replay.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # 60-bit term hash from 15 md5 hex chars
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#{SEED_SIMHASH}"))), 1, 15), 16, 10
+    ).cast("long")
+    per_bit = (
+        tf.withColumn("h", h)
+        .select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            # integer bit extraction: double division would corrupt low bits
+            # of 60-bit hashes (> 2^53); `div` stays in long arithmetic and
+            # pow(2, bit) is exact in double for bit ≤ 62 before the cast
+            "vote",
+            F.when(
+                F.expr("pmod(h div cast(pow(2, bit) as bigint), 2)") == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = 60
+) -> DataFrame:
+    """(doc_id, simhash) → pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole: with n_bands > max_hamming, any qualifying pair agrees on at
+    least one whole band — the banded equi-join finds all of them; exact
+    hamming (bit_count of xor) filters false positives.
+    """
+    assert n_bands > max_hamming, "pigeonhole requires n_bands > max_hamming"
+    band_bits = bits // n_bands
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"pmod(simhash div cast(pow(2, band * {band_bits}) as bigint), "
+            f"cast(pow(2, {band_bits}) as bigint))"
+        ),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

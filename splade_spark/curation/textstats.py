@@ -1,0 +1,113 @@
+"""Text analysis: token counting, quality scoring, heuristic language ID.
+
+Pure Catalyst column expressions end-to-end (regexp/array built-ins) — no
+Python in the hot path, everything SQL-replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from splade_spark.text.stopwords_en import STOPWORDS_EN
+
+# token pattern shared with the analyzer (config.AnalyzerConfig.token_pattern)
+_WORD_RE = "[a-z0-9]+"
+# BPE-ish: word pieces OR single non-space punctuation marks
+_BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+# small frozen stopword profiles for heuristic langid (top function words)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "que", "y", "una", "por", "con"],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ per-doc counting stats (all long/double columns).
+
+    ws_tokens: whitespace-split count; word_tokens: regex word count;
+    bpe_tokens: word pieces + punctuation marks (a cheap BPE proxy);
+    distinct_words, mean_word_len, digit_chars, punct_chars.
+    """
+    lowered = F.lower(F.col(text_col))
+    words = F.regexp_extract_all(lowered, F.lit(_WORD_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("long").alias("ws_tokens"),
+        F.size(words).cast("long").alias("word_tokens"),
+        F.size(F.regexp_extract_all(lowered, F.lit(_BPE_RE), 0)).cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("distinct_words"),
+        (F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+         / F.greatest(F.size(words), F.lit(1))).alias("mean_word_len"),
+        F.length(F.regexp_replace(lowered, "[^0-9]", "")).cast("long").alias("digit_chars"),
+        F.length(F.regexp_replace(lowered, "[a-z0-9\\s]", "")).cast("long").alias("punct_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, …ratios…, quality double in [0,1]).
+
+    Heuristic web-text quality (Gopher/C4-style rules, re-expressed as a
+    smooth score): penalize very short docs, high punctuation/digit density,
+    low vocabulary diversity, and near-zero stopword share.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS_EN) if "'" not in w])
+    lowered = F.lower(F.col(text_col))
+    words = F.regexp_extract_all(lowered, F.lit(_WORD_RE), 0)
+    nw = F.greatest(F.size(words), F.lit(1)).cast("double")
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / nw
+    distinct_ratio = F.size(F.array_distinct(words)) / nw
+    punct_ratio = F.length(F.regexp_replace(lowered, "[a-z0-9\\s]", "")) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    ).cast("double")
+    digit_ratio = F.length(F.regexp_replace(lowered, "[^0-9]", "")) / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    ).cast("double")
+    length_term = F.least(F.size(words) / F.lit(100.0), F.lit(1.0))
+    quality = (
+        F.lit(0.3) * length_term
+        + F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least((punct_ratio + digit_ratio) * 2, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 9).alias("stop_ratio"),
+        F.round(distinct_ratio, 9).alias("distinct_ratio"),
+        F.round(punct_ratio, 9).alias("punct_ratio"),
+        F.round(digit_ratio, 9).alias("digit_ratio"),
+        F.round(quality, 9).alias("quality"),
+    )
+
+
+def langid_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, lang_pred, lang_hits): argmax of profile-stopword hits.
+
+    Ties (including zero hits everywhere) resolve to 'und' unless exactly one
+    language leads. n-gram-free heuristic: function-word hit counts are the
+    strongest cheap signal for European languages.
+    """
+    lowered = F.lower(F.col(text_col))
+    words = F.regexp_extract_all(lowered, F.lit(_WORD_RE), 0)
+    hit_cols = []
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in profile])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    hits = F.array(*hit_cols)
+    best = F.array_max(hits)  # struct compare: by hits, then lang desc? (hits, lang) lexicographic
+    n_best = F.size(F.filter(hits, lambda s: s["hits"] == best["hits"]))
+    return docs.select(
+        "doc_id",
+        F.when((best["hits"] > 0) & (n_best == 1), best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        best["hits"].cast("long").alias("lang_hits"),
+    )

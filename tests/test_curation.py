@@ -1,0 +1,197 @@
+"""Curation operator tests: dedup family, text stats, fingerprinting,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.config import DEFAULT
+from splade_spark.curation import (
+    byte_histogram_features,
+    decode_image,
+    exact_dups,
+    langid_heuristic,
+    minhash_lsh_candidates,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    sample_frames,
+    shingle_tokens,
+    simhash64,
+    simhash_near_pairs,
+    token_stats,
+    winnow,
+    winnow_fingerprints,
+)
+from splade_spark.text.analyzer import analyze_text
+
+BASE = (
+    "spark builds distributed query plans with catalyst and executes stages "
+    "over partitioned parquet data using whole stage codegen for speed"
+)
+NEAR = BASE.replace("speed", "velocity")  # one token differs
+OTHER = "completely different content about databases indexes and storage engines layered"
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1
+        (4, OTHER),
+        (5, "tiny doc"),
+    ]
+    from splade_spark.text.udfs import analyze_udf
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "tokens", analyze_udf(DEFAULT.analyzer)(F.col("text"))
+    )
+    return rows, df.cache()
+
+
+def test_exact_dups(spark, toy_docs):
+    rows, df = toy_docs
+    out = {r.doc_id: r.canonical_id for r in exact_dups(df).collect()}
+    assert out[2] == 1 and out[1] == 1
+    assert out[3] == 3 and out[4] == 4
+
+
+def test_ngram_jaccard_finds_near_dup(spark, toy_docs):
+    rows, df = toy_docs
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             ngram_jaccard_pairs(shingle_tokens(df, 3), threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+    # python cross-check of jaccard(1,3)
+    t1 = analyze_text(BASE, DEFAULT.analyzer)
+    t3 = analyze_text(NEAR, DEFAULT.analyzer)
+    s1 = {" ".join(t1[i : i + 3]) for i in range(len(t1) - 2)}
+    s3 = {" ".join(t3[i : i + 3]) for i in range(len(t3) - 2)}
+    want = len(s1 & s3) / len(s1 | s3)
+    assert pairs[(1, 3)] == pytest.approx(want)
+
+
+def test_minhash_lsh_near_dup(spark, toy_docs):
+    rows, df = toy_docs
+    sh = shingle_tokens(df, 3)
+    sigs = minhash_signatures(sh, n_hashes=64).cache()
+    # identical docs → identical signatures
+    s1 = {r.i: r.sig for r in sigs.filter(F.col("doc_id") == 1).collect()}
+    s2 = {r.i: r.sig for r in sigs.filter(F.col("doc_id") == 2).collect()}
+    assert s1 == s2 and len(s1) == 64
+    # signature agreement estimates jaccard
+    s3 = {r.i: r.sig for r in sigs.filter(F.col("doc_id") == 3).collect()}
+    agree = sum(1 for i in s1 if s1[i] == s3[i]) / 64
+    t1 = analyze_text(BASE, DEFAULT.analyzer)
+    t3 = analyze_text(NEAR, DEFAULT.analyzer)
+    sset1 = {" ".join(t1[i : i + 3]) for i in range(len(t1) - 2)}
+    sset3 = {" ".join(t3[i : i + 3]) for i in range(len(t3) - 2)}
+    true_j = len(sset1 & sset3) / len(sset1 | sset3)
+    assert abs(agree - true_j) < 0.25  # 64 hashes → coarse estimate
+    # end-to-end: candidates found and verified with EXACT jaccard
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in
+           minhash_near_dup_pairs(df, threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and out[(1, 3)] == pytest.approx(true_j)
+
+
+def test_simhash(spark, toy_docs):
+    rows, df = toy_docs
+    sims = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert sims[1] == sims[2]
+    ham_13 = bin(sims[1] ^ sims[3]).count("1")
+    ham_14 = bin(sims[1] ^ sims[4]).count("1")
+    assert ham_13 < ham_14  # near dup closer than unrelated
+    n_bands = next(b for b in (4, 5, 6, 10, 12, 15) if b > ham_13)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_near_pairs(simhash64(df), max_hamming=ham_13, n_bands=n_bands).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == ham_13
+
+    # python cross-check of the simhash definition for doc 5
+    tokens = analyze_text("tiny doc", DEFAULT.analyzer)
+    votes = Counter()
+    for t, tf in Counter(tokens).items():
+        h = int(hashlib.md5(f"{t}#7".encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            votes[b] += tf if (h >> b) & 1 else -tf
+    want = sum(1 << b for b in range(60) if votes[b] > 0)
+    assert sims[5] == want
+
+
+def test_token_stats_hand_computed(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], ["doc_id", "text"])
+    r = token_stats(df).head()
+    assert r.n_chars == 22
+    assert r.ws_tokens == 4
+    assert r.word_tokens == 4  # hello world 42 times
+    assert r.bpe_tokens == 6   # + ',' '!'
+    assert r.distinct_words == 4
+    assert r.digit_chars == 2
+    assert r.punct_chars == 2
+    assert r.mean_word_len == pytest.approx((5 + 5 + 2 + 5) / 4)
+
+
+def test_quality_scores_ordering(spark):
+    good = " ".join(f"the quick brown fox w{i} jumps" for i in range(20))
+    bad = "!!! ??? ### 123 456 !!!"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["doc_id", "text"])
+    out = {r.doc_id: r.quality for r in quality_scores(df).collect()}
+    assert out[1] > out[2]
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_langid_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy with the sun"),
+            (2, "der hund und die katze sind nicht mit dem ball"),
+            (3, "le chat est dans la maison et les oiseaux pour une promenade"),
+            (4, "el perro y la casa es que los gatos una maravilla por favor con"),
+            (5, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in langid_heuristic(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_winnow_properties(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "unrelated prefix text " + a[: 40]  # shares a long substring with a
+    fa, fb = set(winnow(a)), set(winnow(b))
+    assert fa and fb
+    assert fa & fb  # guaranteed: shared substring ≥ w+k-1 = 11 chars
+    assert set(winnow(a)) == set(winnow(a))  # deterministic
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(df).collect()}
+    assert out[1] == fa and out[2] == fb
+
+
+def test_multimodal_plumbing(spark):
+    payloads = [
+        (1, "image", bytes(range(256)) * 8, ("image/png", 16, 16, None)),
+        (2, "video", b"\x00" * 50_000, ("video/mp4", 64, 64, 2000)),
+        (3, "audio", None, ("audio/wav", None, None, 1000)),
+    ]
+    df = spark.createDataFrame(payloads, ["media_id", "kind", "payload", "meta"])
+    feats = {r.media_id: r for r in byte_histogram_features(df).collect()}
+    assert feats[1].n_bytes == 2048
+    assert feats[1].entropy == pytest.approx(4.0)  # uniform over 16 bins
+    assert feats[1].features == pytest.approx([1 / 16] * 16)
+    assert feats[2].entropy == 0.0  # constant bytes
+    assert feats[3].n_bytes == 0
+    frames = sample_frames(df, frame_bytes=1024, stride=10).collect()
+    by_id = Counter(r.media_id for r in frames)
+    assert by_id[2] == math.ceil(math.ceil(50_000 / 1024) / 10)
+    assert all(len(r.frame) <= 1024 for r in frames)
+    with pytest.raises(NotImplementedError):
+        decode_image(df)
