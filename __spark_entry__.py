@@ -132,6 +132,176 @@ def _q_bm25_topk_k3(spark, sf_dir):
     return _topk(spark, sf_dir, 3)
 
 
+def _blocks(spark, sf_dir):
+    """Packed posting blocks for the NOSTEM index (cached)."""
+    key = ("blocks", id(spark), sf_dir)
+    if key not in _FRAMES_CACHE:
+        from splade_spark.build.segments import pack_segment
+        from splade_spark.config import NOSTEM
+
+        frames = _frames(spark, sf_dir)
+        _FRAMES_CACHE[key] = pack_segment(frames.postings, NOSTEM).cache()
+        _FRAMES_CACHE[key].count()
+    return _FRAMES_CACHE[key]
+
+
+def _q_wand_topk_k5(spark, sf_dir):
+    """Block-max WAND over compressed blocks — must equal the naive/BM25 SQL
+    oracle exactly (rank identity across physical paths)."""
+    from splade_spark.config import NOSTEM
+    from splade_spark.fixtures import queries_df
+    from splade_spark.query.wand import topk_wand
+
+    frames = _frames(spark, sf_dir)
+    out = topk_wand(queries_df(spark), _blocks(spark, sf_dir), frames.dictionary, k=5, cfg=NOSTEM)
+    return out.select(
+        F.col("query_id").cast("long"), "doc_id", F.col("rank").cast("long").alias("rank"), _e6("score")
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from splade_spark.curation import exact_dups
+
+    return exact_dups(_docs(spark, sf_dir)).select("doc_id", "text_md5", "canonical_id")
+
+
+def _q_token_stats(spark, sf_dir):
+    from splade_spark.curation import token_stats
+
+    return token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "ws_tokens", "word_tokens", "bpe_tokens",
+        "distinct_words", _e6("mean_word_len"), "digit_chars", "punct_chars",
+    )
+
+
+def _q_quality(spark, sf_dir):
+    from splade_spark.curation import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", _e6("stop_ratio"), _e6("distinct_ratio"), _e6("punct_ratio"),
+        _e6("digit_ratio"), _e6("quality"),
+    )
+
+
+def _q_langid(spark, sf_dir):
+    from splade_spark.curation import langid_heuristic
+
+    return langid_heuristic(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "lang_hits")
+
+
+def _q_simhash(spark, sf_dir):
+    from splade_spark.curation import simhash64
+
+    return simhash64(_frames(spark, sf_dir).docs).select("doc_id", "simhash")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from splade_spark.curation import ngram_jaccard_pairs, shingle_tokens
+
+    sh = shingle_tokens(_frames(spark, sf_dir).docs, 3)
+    return ngram_jaccard_pairs(sh, threshold=0.2, max_shingle_df=None).select(
+        "doc_a", "doc_b", F.col("inter").cast("long"), F.col("na").cast("long"),
+        F.col("nb").cast("long"), _e6("jaccard"),
+    )
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    from splade_spark.curation import minhash_signatures, shingle_tokens
+
+    sh = shingle_tokens(_frames(spark, sf_dir).docs, 3)
+    return minhash_signatures(sh, n_hashes=16).select(
+        "doc_id", F.col("i").cast("long"), F.col("sig").cast("long")
+    )
+
+
+def _q_hash_docvecs(spark, sf_dir):
+    from splade_spark.dense import hash_embed_docs
+
+    return hash_embed_docs(_frames(spark, sf_dir).docs).select(
+        "doc_id", F.col("bucket").cast("long"), _e6("val")
+    )
+
+
+def _dense_ranked(spark, sf_dir, k=5):
+    from splade_spark.config import NOSTEM
+    from splade_spark.dense import cosine_topk_sparse, hash_embed_docs, hash_embed_queries
+    from splade_spark.fixtures import queries_df
+
+    dvecs = hash_embed_docs(_frames(spark, sf_dir).docs)
+    qvecs = hash_embed_queries(queries_df(spark), NOSTEM)
+    return cosine_topk_sparse(dvecs, qvecs, k=k)
+
+
+def _q_dense_cosine_topk(spark, sf_dir):
+    return _dense_ranked(spark, sf_dir).select(
+        F.col("query_id").cast("long"), "doc_id", F.col("rank").cast("long").alias("rank"), _e6("score")
+    )
+
+
+def _q_rrf_hybrid(spark, sf_dir):
+    from splade_spark.config import NOSTEM
+    from splade_spark.fixtures import queries_df
+    from splade_spark.query.fusion import rrf_fuse
+    from splade_spark.query.naive import topk_naive
+
+    frames = _frames(spark, sf_dir)
+    sparse = topk_naive(queries_df(spark), frames.postings, frames.dictionary, k=5, cfg=NOSTEM)
+    dense = _dense_ranked(spark, sf_dir)
+    fused = rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense.select("query_id", "doc_id", "rank")],
+        k_rrf=60,
+        top_k=5,
+    )
+    return fused.select(
+        F.col("query_id").cast("long"),
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("rrf_score") * 1e9).cast("long").alias("rrf_e9"),
+    )
+
+
+def _q_ann_brute_topk(spark, sf_dir):
+    from splade_spark.dense import brute_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return brute_cosine_topk(emb, qs, k=10).select(
+        F.col("query_id").cast("long"), "vec_id", F.col("rank").cast("long").alias("rank"), _e6("score")
+    )
+
+
+# ---- rows-only entries (no SQL equivalent; weaker driver check + pytest) ----
+
+def _q_minhash_near_dups(spark, sf_dir):
+    from splade_spark.curation import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(_frames(spark, sf_dir).docs, threshold=0.2).select(
+        "doc_a", "doc_b", _e6("jaccard")
+    )
+
+
+def _q_fingerprints(spark, sf_dir):
+    from splade_spark.curation import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    from splade_spark.dense import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_cosine_topk(emb, qs, k=10).select(
+        F.col("query_id").cast("long"), "vec_id", F.col("rank").cast("long").alias("rank"), _e6("score")
+    )
+
+
 def _q_filtered_scan(spark, sf_dir):
     # P1: the reference's corpus rebuild scan — predicate + projection
     # (collection.query(expr="pk != ''", output_fields=["text"]), main.py:46-53)
@@ -156,8 +326,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_encode": _q_query_encode,
         "bm25_topk_k5": _q_bm25_topk_k5,
         "bm25_topk_k3": _q_bm25_topk_k3,
+        "bm25_wand_topk_k5": _q_wand_topk_k5,
         "filtered_scan": _q_filtered_scan,
         "catalog_count": _q_catalog_count,
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "langid": _q_langid,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_sigs": _q_minhash_sigs,
+        "hash_docvecs": _q_hash_docvecs,
+        "dense_cosine_topk": _q_dense_cosine_topk,
+        "rrf_hybrid_k5": _q_rrf_hybrid,
+        "ann_brute_topk": _q_ann_brute_topk,
+        # rows-only (non-SQL-expressible; covered by pytest goldens instead)
+        "minhash_near_dups": _q_minhash_near_dups,
+        "fingerprints": _q_fingerprints,
+        "lsh_ann_topk": _q_lsh_ann_topk,
     }
 
 
@@ -260,6 +446,122 @@ SELECT query_id::BIGINT AS query_id, doc_id, rank::BIGINT AS rank,
 FROM ranked WHERE rank <= {k}"""
 
 
+def _words_expr(col: str = "text") -> str:
+    return f"regexp_extract_all(lower({col}), '[a-z0-9]+')"
+
+
+def _stoplist_list_sql() -> str:
+    from splade_spark.text.stopwords_en import STOPWORDS_EN
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN) if "'" not in w) + "]"
+
+
+def _shingle_ctes() -> str:
+    """Ordered NOSTEM tokens → distinct 3-gram shingles per doc (engine
+    semantics: docs with <3 tokens contribute their whole token string)."""
+    stop = _stoplist_sql()
+    return f""",
+tok_ord AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest({_words_expr()}) AS term,
+           generate_subscripts({_words_expr()}, 1) AS pos
+    FROM documents) raw
+  WHERE term NOT IN ({stop})
+),
+ftok AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS fpos
+  FROM tok_ord
+),
+ftok_n AS (SELECT doc_id, count(*) AS n FROM ftok GROUP BY doc_id),
+sh_long AS (
+  SELECT f.doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+  FROM ftok f JOIN ftok_n USING (doc_id)
+  WHERE n >= 3
+  WINDOW w AS (PARTITION BY f.doc_id ORDER BY fpos)
+  QUALIFY lead(term, 2) OVER w IS NOT NULL
+),
+sh_short AS (
+  SELECT f.doc_id, string_agg(term, ' ' ORDER BY fpos) AS shingle
+  FROM ftok f JOIN ftok_n USING (doc_id) WHERE n < 3 GROUP BY f.doc_id
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short) u
+)"""
+
+
+def _minhash_seeds_sql(n_hashes: int = 16) -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, 2147483647, size=n_hashes, dtype=np.int64) | 1
+    b = rng.integers(0, 2147483647, size=n_hashes, dtype=np.int64)
+    rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_hashes))
+    return f"(VALUES {rows}) AS seeds(i, a, b)"
+
+
+def _hash_vec_ctes() -> str:
+    """Feature-hash doc vectors + query vectors (md5-prefix hash, dim 256)."""
+    return """,
+docvec AS (
+  SELECT doc_id, bucket, sum(signed) AS val FROM (
+    SELECT doc_id,
+           ('0x'||substr(md5(term||'#1'),1,8))::UBIGINT::BIGINT % 256 AS bucket,
+           ((('0x'||substr(md5(term||'#2'),1,8))::UBIGINT::BIGINT % 2) * 2 - 1)::DOUBLE
+             * tf AS signed
+    FROM tf) s
+  GROUP BY doc_id, bucket HAVING sum(signed) != 0
+),
+qvec AS (
+  SELECT query_id, bucket, sum(signed) AS qval FROM (
+    SELECT query_id,
+           ('0x'||substr(md5(term||'#1'),1,8))::UBIGINT::BIGINT % 256 AS bucket,
+           ((('0x'||substr(md5(term||'#2'),1,8))::UBIGINT::BIGINT % 2) * 2 - 1)::DOUBLE
+             * qtf AS signed
+    FROM qtf) s
+  GROUP BY query_id, bucket HAVING sum(signed) != 0
+),
+dnorm AS (SELECT doc_id, sqrt(sum(val*val)) AS dn FROM docvec GROUP BY doc_id),
+qnorm AS (SELECT query_id, sqrt(sum(qval*qval)) AS qn FROM qvec GROUP BY query_id),
+dcos AS (
+  SELECT d.query_id, d.doc_id, d.dot / (dn.dn * qn.qn) AS score
+  FROM (SELECT query_id, doc_id, sum(val*qval) AS dot
+        FROM docvec JOIN qvec USING (bucket) GROUP BY query_id, doc_id) d
+  JOIN dnorm dn USING (doc_id) JOIN qnorm qn USING (query_id)
+),
+dense_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM dcos
+)"""
+
+
+def _langid_sql() -> str:
+    from splade_spark.curation.textstats import LANG_PROFILES
+
+    hits = {
+        lang: f"len(list_filter({_words_expr()}, w -> list_contains("
+        + "[" + ", ".join(f"'{w}'" for w in profile) + "], w)))"
+        for lang, profile in sorted(LANG_PROFILES.items())
+    }
+    cols = ", ".join(f"{h} AS h_{lang}" for lang, h in hits.items())
+    langs = sorted(hits)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    n_best = " + ".join(f"(h_{l} = best)::INT" for l in langs)
+    # engine tie semantics: unique argmax with hits>0, else 'und'
+    pick = "CASE " + " ".join(
+        f"WHEN h_{l} = best THEN '{l}'" for l in reversed(langs)
+    ) + " END"
+    return f"""WITH w AS (SELECT doc_id, {cols} FROM documents),
+b AS (SELECT doc_id, h_de, h_en, h_es, h_fr, {best} AS best FROM w)
+SELECT doc_id,
+       CASE WHEN best > 0 AND ({n_best}) = 1 THEN {pick} ELSE 'und' END AS lang_pred,
+       best::BIGINT AS lang_hits
+FROM b"""
+
+
 def oracle_sql() -> dict[str, str]:
     base = _base_ctes()
     return {
@@ -281,4 +583,142 @@ SELECT query_id::BIGINT AS query_id, term_id,
             "SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND n_chars > 100"
         ),
         "catalog_count": "SELECT count(*)::BIGINT AS n FROM documents",
+        # WAND must agree with the same BM25 oracle as the naive path
+        "bm25_wand_topk_k5": _topk_sql(5),
+        "exact_dedup": """
+SELECT doc_id, md5(text) AS text_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents""",
+        "token_stats": f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+       len({_words_expr()})::BIGINT AS word_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens,
+       len(list_distinct({_words_expr()}))::BIGINT AS distinct_words,
+       CAST(round(1e6 * list_aggregate(list_transform({_words_expr()}, w -> length(w)), 'sum')
+                  / greatest(len({_words_expr()}), 1)) AS BIGINT) AS mean_word_len_e6,
+       length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::BIGINT AS digit_chars,
+       length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::BIGINT AS punct_chars
+FROM documents""",
+        "quality_scores": f"""
+WITH q AS (
+  SELECT doc_id,
+    greatest(len({_words_expr()}), 1)::DOUBLE AS nw,
+    len(list_filter({_words_expr()}, w -> list_contains({_stoplist_list_sql()}, w))) AS nstop,
+    len(list_distinct({_words_expr()})) AS ndist,
+    len({_words_expr()}) AS nwords,
+    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+      / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+    length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+      / greatest(length(text), 1)::DOUBLE AS digit_ratio
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    round(nstop / nw, 9) AS stop_ratio,
+    round(ndist / nw, 9) AS distinct_ratio,
+    round(punct_ratio, 9) AS punct_ratio,
+    round(digit_ratio, 9) AS digit_ratio,
+    round(0.3 * least(nwords / 100.0, 1.0)
+        + 0.2 * least(nstop / nw * 5, 1.0)
+        + 0.3 * (ndist / nw)
+        + 0.2 * (1.0 - least((punct_ratio + digit_ratio) * 2, 1.0)), 9) AS quality
+  FROM q)
+SELECT doc_id,
+  CAST(round(stop_ratio*1e6) AS BIGINT) AS stop_ratio_e6,
+  CAST(round(distinct_ratio*1e6) AS BIGINT) AS distinct_ratio_e6,
+  CAST(round(punct_ratio*1e6) AS BIGINT) AS punct_ratio_e6,
+  CAST(round(digit_ratio*1e6) AS BIGINT) AS digit_ratio_e6,
+  CAST(round(quality*1e6) AS BIGINT) AS quality_e6
+FROM r""",
+        "langid": _langid_sql(),
+        "simhash": f"""WITH {base},
+th AS (
+  SELECT doc_id, tf, ('0x'||substr(md5(term||'#7'),1,15))::UBIGINT::BIGINT AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h // cast(pow(2, bit) AS BIGINT)) % 2 = 1 THEN tf ELSE -tf END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN cast(pow(2, bit) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id""",
+        "ngram_jaccard": f"""WITH {base}{_shingle_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter::BIGINT AS inter,
+       sa.n_shingles::BIGINT AS na, sb.n_shingles::BIGINT AS nb,
+       CAST(round(inter / (sa.n_shingles + sb.n_shingles - inter)::DOUBLE * 1e6) AS BIGINT)
+         AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n_shingles + sb.n_shingles - inter)::DOUBLE >= 0.2""",
+        "minhash_sigs": f"""WITH {base}{_shingle_ctes()},
+mh AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(shingle||'#101'),1,8))::UBIGINT::BIGINT % 2147483647 AS h
+  FROM shingles
+)
+SELECT doc_id, i::BIGINT AS i, min((a * h + b) % 2147483647)::BIGINT AS sig
+FROM mh CROSS JOIN {_minhash_seeds_sql(16)}
+GROUP BY doc_id, i""",
+        "hash_docvecs": f"""WITH {base},
+docvec AS (
+  SELECT doc_id, bucket, sum(signed) AS val FROM (
+    SELECT doc_id,
+           ('0x'||substr(md5(term||'#1'),1,8))::UBIGINT::BIGINT % 256 AS bucket,
+           ((('0x'||substr(md5(term||'#2'),1,8))::UBIGINT::BIGINT % 2) * 2 - 1)::DOUBLE
+             * tf AS signed
+    FROM tf) s
+  GROUP BY doc_id, bucket HAVING sum(signed) != 0
+)
+SELECT doc_id, bucket::BIGINT AS bucket, CAST(round(val*1e6) AS BIGINT) AS val_e6
+FROM docvec""",
+        "dense_cosine_topk": f"""WITH {base}{_query_ctes()}{_hash_vec_ctes()}
+SELECT query_id::BIGINT AS query_id, doc_id, rank::BIGINT AS rank,
+       CAST(round(score*1e6) AS BIGINT) AS score_e6
+FROM dense_ranked WHERE rank <= 5""",
+        "rrf_hybrid_k5": f"""WITH {base}{_query_ctes()}{_hash_vec_ctes()},
+contrib AS (
+  SELECT query_id, doc_id, 1.0/(60 + rank) AS c FROM ranked WHERE rank <= 5
+  UNION ALL
+  SELECT query_id, doc_id, 1.0/(60 + rank) AS c FROM dense_ranked WHERE rank <= 5
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c) AS rrf_score FROM contrib GROUP BY query_id, doc_id
+),
+rrf_ranked AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(rrf_score, 9) DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank::BIGINT AS rank,
+       CAST(round(rrf_score*1e9) AS BIGINT) AS rrf_e9
+FROM rrf_ranked WHERE rank <= 5""",
+        "ann_brute_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qvec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec, q.qvec))) AS score
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id::BIGINT AS query_id, vec_id, rank::BIGINT AS rank,
+       CAST(round(score*1e6) AS BIGINT) AS score_e6
+FROM r WHERE rank <= 10""",
     }
