@@ -48,25 +48,48 @@ def get_spark(cpus: int):
     )
 
 
-def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str) -> dict:
+def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str, expand: int = 8) -> dict:
     """Run all phases on a fresh local[cpus] session; return timings + meta."""
     from pyspark.sql import functions as F
 
     from splade_spark.build.indexer import build_index_frames
     from splade_spark.config import DEFAULT
-    from splade_spark.fixtures import queries_df
+    from splade_spark.fixtures import FROZEN_QUERIES
     from splade_spark.query.naive import topk_naive
-    from splade_spark.sources.web_pages import read_documents, web_pages_from_documents
+    from splade_spark.sources.web_pages import (
+        expand_query_text, read_documents, web_pages_from_documents,
+    )
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
     try:
-        pages = web_pages_from_documents(
-            read_documents(spark, sf_dir), replicate=replicate
-        ).repartition(cpus * 2)
-        n_pages = pages.count()  # materialize input sizing outside the timed region
+        # Stage the input table to parquet OUTSIDE the timed region: deriving
+        # web_pages from the driver fixture (html wrap) is fixture generation,
+        # not index-build work — a real pipeline reads web_pages from storage.
+        pages_path = os.path.join(workdir, f"pages_{cpus}")
+        web_pages_from_documents(
+            read_documents(spark, sf_dir), replicate=replicate, expand_text=expand
+        ).repartition(cpus * 2).write.mode("overwrite").parquet(pages_path)
+        # re-spread: the scan of a small staged table collapses to 1-2 byte-
+        # based partitions, which would serialize the UDF-heavy build stage
+        pages = spark.read.parquet(pages_path).repartition(cpus * 2)
+        n_pages = pages.count()
+
+        # Warm the Python UDF workers (steady-state measurement): one dummy
+        # Arrow-UDF pass over every core so worker fork+import cost is not
+        # billed to the first timed phase.
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+
+        @pandas_udf(IntegerType())
+        def _warm(s):
+            import splade_spark.text.analyzer  # noqa: F401
+            return s * 0
+
+        spark.range(0, cpus * 4, 1, cpus * 2).select(_warm(F.col("id").cast("int"))).count()
 
         # -- index_build ----------------------------------------------------
         t0 = time.monotonic()
@@ -76,7 +99,7 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str) -> dict:
         frames.dictionary.cache().count()
         timings["index_build"] = time.monotonic() - t0
 
-        postings = spark.read.parquet(postings_path).cache()
+        postings = spark.read.parquet(postings_path).repartition(cpus * 2).cache()
         n_postings = postings.count()
         n_docs = frames.docs.count()
         meta["n_pages"] = n_pages
@@ -93,13 +116,18 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str) -> dict:
             blocks_path = os.path.join(workdir, f"blocks_{cpus}")
             pack_segment(postings, DEFAULT).write.mode("overwrite").parquet(blocks_path)
             timings["pack_blocks"] = time.monotonic() - t0
-            blocks = spark.read.parquet(blocks_path).cache()
+            blocks = spark.read.parquet(blocks_path).repartition(cpus * 2).cache()
             meta["n_blocks"] = blocks.count()
         except ImportError:
             blocks = None
 
         # -- query batch (naive) -------------------------------------------
-        queries = queries_df(spark)
+        # query texts suffixed to the expanded vocabulary (paragraph qid % k)
+        qrows = [
+            (qid, expand_query_text(text, qid % expand) if expand > 1 else text)
+            for qid, text in FROZEN_QUERIES
+        ]
+        queries = spark.createDataFrame(qrows, ["query_id", "text"])
         # warm-up once (JIT/codegen/broadcast), then timed run
         topk_naive(queries, postings, frames.dictionary, k=5, cfg=DEFAULT).count()
         t0 = time.monotonic()
@@ -141,11 +169,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "8"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     workdir = tempfile.mkdtemp(prefix="splade_bench_")
     try:
-        res = run_bench(cpus, sf_dir, replicate, workdir)
+        res = run_bench(cpus, sf_dir, replicate, workdir, expand)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

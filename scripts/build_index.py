@@ -29,8 +29,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True, help="index directory (resume target)")
     ap.add_argument("--segments", type=int, default=None)
     ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--expand-text", type=int, default=1,
+                    help="repeat each text k times (realistic KB-scale pages)")
     ap.add_argument("--from-docs", action="store_true",
                     help="index documents.parquet rows directly (skip html wrap)")
+    ap.add_argument("--stage-pages", default=None,
+                    help="write the derived web_pages table here first and build "
+                         "from the parquet (fixture derivation excluded from timing)")
+    ap.add_argument("--warm-workers", action="store_true",
+                    help="pre-fork Python UDF workers before the timed build "
+                         "(steady-state throughput measurement)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,9 +51,30 @@ def main(argv: list[str] | None = None) -> None:
     from splade_spark.sources.web_pages import read_documents, web_pages_from_documents
 
     pages = web_pages_from_documents(
-        read_documents(spark, args.input), replicate=args.replicate
+        read_documents(spark, args.input),
+        replicate=args.replicate,
+        expand_text=args.expand_text,
     )
+    if args.stage_pages:
+        cores = spark.sparkContext.defaultParallelism
+        pages.repartition(cores * 2).write.mode("overwrite").parquet(args.stage_pages)
+        # re-spread the scan (small staged table → 1-2 byte-based partitions)
+        pages = spark.read.parquet(args.stage_pages).repartition(cores * 2)
     n_pages = pages.count()
+    if args.warm_workers:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import IntegerType
+
+        cores = spark.sparkContext.defaultParallelism
+
+        @F.pandas_udf(IntegerType())
+        def _warm(s):
+            import splade_spark.text.analyzer  # noqa: F401
+            return s * 0
+
+        spark.range(0, cores * 4, 1, cores * 2).select(
+            _warm(F.col("id").cast("int"))
+        ).count()
     t0 = time.monotonic()
     idx = build_segmented_index(
         pages, args.output, DEFAULT, use_html=not args.from_docs, n_segments=args.segments

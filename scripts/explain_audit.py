@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Physical-plan audit: print formatted plans for the engine's hot paths and
+grep them for the properties the scale design promises (task brief: "iterate
+until it's the plan you'd want").
+
+Checks:
+  * postings scan under a query has PushedFilters on term_id and a pruned
+    ReadSchema (no text columns)
+  * naive scoring joins broadcast the query side (BroadcastHashJoin)
+  * tf/df aggregations are partial (two HashAggregate levels)
+  * column math stages run inside WholeStageCodegen
+  * top-k compiles to TakeOrderedAndProject (no global sort)
+
+Exit code 1 if an expected property is missing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from splade_spark.build.indexer import build_index_from_docs
+    from splade_spark.build.postings import term_freqs
+    from splade_spark.config import NOSTEM
+    from splade_spark.fixtures import queries_df
+    from splade_spark.query.naive import topk_naive
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    frames = build_index_from_docs(docs, NOSTEM)
+
+    failures = []
+
+    def check(name: str, plan: str, patterns: dict[str, str]) -> None:
+        print(f"\n{'='*20} {name} {'='*20}")
+        print(plan[:4000])
+        for label, pat in patterns.items():
+            ok = re.search(pat, plan) is not None
+            print(f"  [{'ok' if ok else 'MISSING'}] {label}")
+            if not ok:
+                failures.append(f"{name}: {label}")
+
+    with tempfile.TemporaryDirectory() as d:
+        # persist postings sorted by term_id → parquet min/max row-group pruning
+        ppath = os.path.join(d, "postings")
+        frames.postings.repartition(4, "term_id").sortWithinPartitions(
+            "term_id", "doc_id"
+        ).write.parquet(ppath)
+        postings = spark.read.parquet(ppath)
+
+        # 1) pruned + filtered postings scan
+        seek = postings.filter(F.col("term_id") == 7).select("doc_id", "impact")
+        check(
+            "postings index-seek scan",
+            seek._jdf.queryExecution().explainString("formatted"),
+            {
+                "filter pushed to parquet": r"PushedFilters: \[.*(EqualTo|IsNotNull)\(term_id",
+                "column pruning (no tf col)": r"ReadSchema: [^\n]*doc_id[^\n]*impact",
+                "codegen": r"WholeStageCodegen",
+            },
+        )
+
+        # 2) naive query path
+        q = topk_naive(queries_df(spark), postings, frames.dictionary, k=5, cfg=NOSTEM)
+        plan = q._jdf.queryExecution().explainString("formatted")
+        check(
+            "naive BM25 top-k",
+            plan,
+            {
+                "query side broadcast": r"BroadcastHashJoin|BroadcastExchange",
+                "partial aggregation": r"HashAggregate[\s\S]*HashAggregate",
+                "codegen": r"WholeStageCodegen",
+            },
+        )
+
+        # 3) tf aggregation (build hot path)
+        tf_plan = term_freqs(frames.docs)._jdf.queryExecution().explainString("formatted")
+        check(
+            "tf aggregation",
+            tf_plan,
+            {"partial aggregation": r"partial_count|HashAggregate[\s\S]*HashAggregate"},
+        )
+
+        # 4) global top-k without window → TakeOrderedAndProject
+        scored = postings.groupBy("doc_id").agg(F.sum("impact").alias("s"))
+        topk_plan = (
+            scored.orderBy(F.desc("s")).limit(5)._jdf.queryExecution().explainString("formatted")
+        )
+        check("orderBy+limit", topk_plan, {"TakeOrderedAndProject": r"TakeOrderedAndProject"})
+
+    print("\n" + ("ALL CHECKS PASSED" if not failures else f"FAILURES: {failures}"))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

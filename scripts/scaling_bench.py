@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""N vs 4N scaling evidence (BASELINE.json north_rule, sandbox stand-in).
+
+Runs the IDENTICAL spark-submit index build on the same staged input at two
+parallelism levels (default local[8] and local[32]) and reports throughput at
+both plus scaling efficiency = T(4N) / (4 · T(N)). Appends a row to
+BENCH/BASELINE.md.
+
+    python scripts/scaling_bench.py [--sf-dir /root/testdata/sf0.1]
+        [--replicate 24] [--n 8] [--runs 1]
+
+A real cluster is unavailable in this sandbox, so cores stand in for
+executors; everything else — spark-submit --py-files, the build script, the
+input — is exactly the multi-executor path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: str,
+              expand_text: int = 1) -> dict:
+    out_dir = os.path.join(workdir, f"idx_{cpus}_{time.monotonic_ns()}")
+    stage = os.path.join(workdir, f"pages_{cpus}")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--conf", f"spark.sql.shuffle.partitions={cpus}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.driver.memory=12g",
+        "--py-files", zip_path,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "build_index.py"),
+        "--input", sf_dir,
+        "--output", out_dir,
+        "--replicate", str(replicate),
+        "--expand-text", str(expand_text),
+        "--stage-pages", stage,
+        "--warm-workers",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-3000:])
+        raise RuntimeError(f"build at local[{cpus}] failed")
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=24)
+    ap.add_argument("--expand-text", type=int, default=8,
+                    help="text repetition factor (KB-scale pages)")
+    ap.add_argument("--n", type=int, default=8, help="small parallelism; big = 4n")
+    ap.add_argument("--runs", type=int, default=1, help="repeats per level (best kept)")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(repo, "dist", "splade_spark.zip")
+    subprocess.run([sys.executable, os.path.join(repo, "scripts", "package.py")], check=True)
+
+    workdir = tempfile.mkdtemp(prefix="scaling_")
+    try:
+        results = {}
+        for cpus in (args.n, args.n * 4):
+            best = None
+            for _ in range(args.runs):
+                rec = run_build(cpus, args.sf_dir, args.replicate, workdir, zip_path,
+                                expand_text=args.expand_text)
+                if best is None or rec["docs_per_sec"] > best["docs_per_sec"]:
+                    best = rec
+            results[cpus] = best
+            print(f"local[{cpus}]: {json.dumps(best)}", flush=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    small, big = results[args.n], results[args.n * 4]
+    eff = big["docs_per_sec"] / (4 * small["docs_per_sec"])
+    summary = {
+        "n": args.n,
+        "4n": args.n * 4,
+        "docs_per_sec_n": round(small["docs_per_sec"], 1),
+        "docs_per_sec_4n": round(big["docs_per_sec"], 1),
+        "postings_n": small["n_postings"],
+        "scaling_efficiency": round(eff, 3),
+        "input_pages": small["n_pages"],
+        "sf_dir": args.sf_dir,
+    }
+    print(json.dumps(summary), flush=True)
+
+    bench_dir = os.path.join(repo, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    path = os.path.join(bench_dir, "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime())
+    row = (
+        f"| {stamp} | {summary['input_pages']} pages ({args.sf_dir}, replicate={args.replicate}, "
+        f"expand={args.expand_text}) "
+        f"| local[{args.n}]: {summary['docs_per_sec_n']} docs/s "
+        f"| local[{args.n*4}]: {summary['docs_per_sec_4n']} docs/s "
+        f"| **{summary['scaling_efficiency']}** |\n"
+    )
+    header = (
+        "# BENCH — measured numbers\n\n"
+        "## N → 4N scaling (spark-submit build, identical staged input, "
+        "steady-state workers)\n\n"
+        "efficiency = throughput(4N) / (4 · throughput(N)); target ≥ 0.8 "
+        "(BASELINE.json north_rule; cores stand in for executors in this sandbox).\n\n"
+        "| when | input | N | 4N | efficiency |\n|---|---|---|---|---|\n"
+    )
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(header)
+    with open(path, "a") as f:
+        f.write(row)
+    print(f"appended to {path}")
+
+
+if __name__ == "__main__":
+    main()

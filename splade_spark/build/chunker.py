@@ -63,11 +63,23 @@ def chunk_pages(pages: DataFrame, cfg: EngineConfig = DEFAULT, use_html: bool = 
 
 
 def docs_from_chunks(chunks: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """Attach analyzed tokens + doclen → docs(doc_id, url, chunk_idx, text, tokens, doclen)."""
-    return chunks.select(
-        "doc_id",
-        "url",
-        "chunk_idx",
-        "text",
-        analyze_udf(cfg.analyzer)(F.col("text")).alias("tokens"),
-    ).withColumn("doclen", F.size("tokens"))
+    """Attach analysis → docs(doc_id, url, chunk_idx, text, tokens, term_counts, doclen).
+
+    One analyzer pass yields both the ordered tokens and the term-count map
+    (text/udfs.py analyze_counts_udf) so downstream tf needs no token-level
+    shuffle.
+    """
+    from splade_spark.text.udfs import analyze_counts_udf
+
+    return (
+        chunks.withColumn("_an", analyze_counts_udf(cfg.analyzer)(F.col("text")))
+        .select(
+            "doc_id",
+            "url",
+            "chunk_idx",
+            "text",
+            F.col("_an.tokens").alias("tokens"),
+            F.col("_an.term_counts").alias("term_counts"),
+        )
+        .withColumn("doclen", F.size("tokens"))
+    )

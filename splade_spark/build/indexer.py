@@ -66,7 +66,7 @@ def build_index_from_docs(
     Used for the DuckDB oracle gate, where each documents.parquet row is one
     retrieval unit (all fixture docs are < chunk_size anyway).
     """
-    from splade_spark.text.udfs import analyze_udf
+    from splade_spark.text.udfs import analyze_counts_udf
 
     docs = (
         doc_rows.select(
@@ -74,8 +74,11 @@ def build_index_from_docs(
             F.lit(None).cast("string").alias("url"),
             F.lit(0).alias("chunk_idx"),
             "text",
-            analyze_udf(cfg.analyzer)(F.col("text")).alias("tokens"),
+            analyze_counts_udf(cfg.analyzer)(F.col("text")).alias("_an"),
         )
+        .select("doc_id", "url", "chunk_idx", "text",
+                F.col("_an.tokens").alias("tokens"),
+                F.col("_an.term_counts").alias("term_counts"))
         .withColumn("doclen", F.size("tokens"))
     )
     return _assemble(docs, cfg, salted)

@@ -20,10 +20,20 @@ from splade_spark.config import EngineConfig, DEFAULT
 
 
 def term_freqs(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, tokens, doclen) → tf(doc_id, term, tf int, doclen int).
+    """docs → tf(doc_id, term, tf int, doclen int).
 
-    One shuffle keyed by (doc_id, term) — doc-dominated keyspace, no term skew.
+    When the docs frame carries the pre-aggregated ``term_counts`` map
+    (chunker analyze_counts_udf), tf is a shuffle-FREE map explode — one row
+    per distinct (doc, term), already counted inside the analyzer's Arrow
+    batch. Fallback for token-only frames: groupBy keyed by (doc_id, term) —
+    doc-dominated keyspace, no term skew either way.
     """
+    if "term_counts" in docs.columns:
+        return docs.select(
+            "doc_id",
+            "doclen",
+            F.explode("term_counts").alias("term", "tf"),
+        ).select("doc_id", "term", F.col("tf").cast("int").alias("tf"), "doclen")
     return (
         docs.select("doc_id", "doclen", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")

@@ -85,42 +85,80 @@ def with_segment_id(postings: DataFrame, n_segments: int) -> DataFrame:
     )
 
 
-def _pack_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """One (segment_id, term_id) group → block rows. Vectorized numpy."""
-    seg = int(pdf["segment_id"].iloc[0])
-    tid = int(pdf["term_id"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    impacts = pdf["impact"].to_numpy()[order].astype(np.float64)
-    rows = []
-    for b, start in enumerate(range(0, len(doc_ids), block_size)):
-        d = doc_ids[start : start + block_size]
-        w = impacts[start : start + block_size]
-        rows.append(
-            (
-                seg, tid, b, len(d), float(w.max()),
-                int(d[0]), int(d[-1]),
-                encode_doc_ids(d), encode_impacts(w),
-            )
-        )
-    return pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
-
-
-def pack_segment(postings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def pack_segment(
+    postings: DataFrame, cfg: EngineConfig = DEFAULT, n_partitions: int | None = None
+) -> DataFrame:
     """postings_long(term_id, doc_id, impact[, segment_id]) → block rows.
 
-    If ``segment_id`` is absent everything is packed as segment 0. The
-    groupBy keys on (segment_id, term_id), so group size ≤ segment docs —
-    skew-capped by construction.
+    If ``segment_id`` is absent everything is packed as segment 0.
+
+    Physical shape (SURVEY.md §2.3 B5): repartition on (segment_id, term_id)
+    → sortWithinPartitions(segment_id, term_id, doc_id) → ONE streaming
+    ``mapInPandas`` pass that detects group boundaries in the already-sorted
+    Arrow batches and emits packed blocks. Compared with per-group
+    applyInPandas this removes the per-group pandas materialization AND the
+    python-side sort — the sort happens in Spark's shuffle machinery
+    (tungsten, spillable). Group size stays capped by segment_max_docs.
     """
     if "segment_id" not in postings.columns:
         postings = postings.withColumn("segment_id", F.lit(0))
     block_size = cfg.block_size
-    return (
+    spark = postings.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 2
+    arranged = (
         postings.select("segment_id", "term_id", "doc_id", "impact")
-        .groupBy("segment_id", "term_id")
-        .applyInPandas(lambda pdf: _pack_group(pdf, block_size), BLOCK_SCHEMA)
+        .repartition(n_partitions, "segment_id", "term_id")
+        .sortWithinPartitions("segment_id", "term_id", "doc_id")
     )
+
+    def _pack_stream(batches):
+        # carry: leftover rows of the group spanning a batch boundary
+        carry = None
+        out_rows: list = []
+
+        def flush_group(seg, tid, doc_ids, impacts):
+            for b, start in enumerate(range(0, len(doc_ids), block_size)):
+                d = doc_ids[start : start + block_size]
+                w = impacts[start : start + block_size]
+                out_rows.append(
+                    (int(seg), int(tid), b, len(d), float(w.max()),
+                     int(d[0]), int(d[-1]), encode_doc_ids(d), encode_impacts(w))
+                )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            seg = pdf["segment_id"].to_numpy()
+            tid = pdf["term_id"].to_numpy()
+            # group boundary where (segment_id, term_id) changes
+            change = np.nonzero((seg[1:] != seg[:-1]) | (tid[1:] != tid[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            # last group may continue into the next batch → carry it
+            carry = pdf.iloc[starts[-1]:]
+            d_all = pdf["doc_id"].to_numpy()
+            w_all = pdf["impact"].to_numpy(dtype=np.float64)
+            for s, e in zip(starts[:-1], starts[1:]):
+                flush_group(seg[s], tid[s], d_all[s:e], w_all[s:e])
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+                out_rows = []
+        if carry is not None and len(carry):
+            seg = carry["segment_id"].to_numpy()
+            tid = carry["term_id"].to_numpy()
+            change = np.nonzero((seg[1:] != seg[:-1]) | (tid[1:] != tid[:-1]))[0] + 1
+            starts = np.concatenate(([0], change, [len(carry)]))
+            d_all = carry["doc_id"].to_numpy()
+            w_all = carry["impact"].to_numpy(dtype=np.float64)
+            for s, e in zip(starts[:-1], starts[1:]):
+                flush_group(seg[s], tid[s], d_all[s:e], w_all[s:e])
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return arranged.mapInPandas(_pack_stream, BLOCK_SCHEMA)
 
 
 def unpack_blocks(blocks: DataFrame) -> DataFrame:
@@ -279,6 +317,14 @@ def build_segmented_index(
 
     spark = pages.sparkSession
     index = SegmentedIndex(index_dir)
+    # Compute-dense stages (extract/analyze UDFs) must not inherit the scan's
+    # byte-based partitioning: a small-but-heavy input collapses to 1-2 tasks
+    # under maxPartitionBytes=128M and serializes the whole build. Spread to
+    # the session's full parallelism; at real 100TB scale the scan already
+    # yields enough partitions and this repartition coalesces nothing.
+    par = spark.sparkContext.defaultParallelism * 2
+    if pages.rdd.getNumPartitions() < par:
+        pages = pages.repartition(par)
     stats_path = os.path.join(index_dir, "corpus_stats")
     dict_path = os.path.join(index_dir, "dictionary")
     docs_path = os.path.join(index_dir, "docs")
@@ -286,16 +332,36 @@ def build_segmented_index(
         os.path.join(dict_path, "_SUCCESS")
     )
 
+    import sys
+
+    timing = os.environ.get("SPLADE_BUILD_TIMING") == "1"
+    _t_last = [time.monotonic()]
+
+    def _mark(label: str) -> None:
+        if timing:
+            now = time.monotonic()
+            print(f"[build-timing] {label}: {now - _t_last[0]:.2f}s", file=sys.stderr, flush=True)
+            _t_last[0] = now
+
+    def _read_spread(path: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        return df
+
     if not fit_done:
         docs = docs_from_chunks(chunk_pages(pages, cfg, use_html=use_html), cfg)
         docs.write.mode("overwrite").parquet(docs_path)  # chunk store (checkpoint 0a)
-        docs = spark.read.parquet(docs_path)
+        _mark("chunk_write")
+        docs = _read_spread(docs_path)
         compute_corpus_stats(docs).write.mode("overwrite").parquet(stats_path)
+        _mark("stats")
         stats = spark.read.parquet(stats_path)
         tf = term_freqs(docs)
         build_dictionary(tf, stats, cfg).write.mode("overwrite").parquet(dict_path)
+        _mark("dictionary")
 
-    docs = spark.read.parquet(docs_path)
+    docs = _read_spread(docs_path)
     stats = index.corpus_stats(spark)
     dictionary = index.dictionary(spark).cache()
 
@@ -307,44 +373,61 @@ def build_segmented_index(
     if not pending:
         return index
 
+    # ONE pack+write job for every pending segment (dynamic partition
+    # overwrite replaces only the written segment_id=K dirs) and ONE stats
+    # job for the manifests — the per-segment loop it replaces paid ~1s of
+    # planning/codegen latency per job, a serial floor that dominated build
+    # time at bench scale. Crash mid-write leaves no new manifests → the
+    # whole pending set rebuilds; committed segments stay untouched.
     tf = term_freqs(docs)
     impacts = doc_impacts(tf, stats, cfg)
-    long = with_segment_id(postings_long(impacts, dictionary), n_segments).cache()
-
-    done = 0
-    for seg in pending:
-        seg_long = long.filter(F.col("segment_id") == seg)
-        seg_blocks_path = os.path.join(index_dir, "blocks", f"seg={seg}")
-        blocks = pack_segment(seg_long, cfg)
-        t0 = time.monotonic()
-        blocks.write.mode("overwrite").parquet(seg_blocks_path)
-        elapsed = max(time.monotonic() - t0, 1e-9)
-        agg = seg_long.agg(
+    long = with_segment_id(postings_long(impacts, dictionary), n_segments)
+    pending_long = long.filter(F.col("segment_id").isin(pending)).cache()
+    blocks_root = os.path.join(index_dir, "blocks")
+    t0 = time.monotonic()
+    pack_segment(pending_long, cfg).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("segment_id").parquet(blocks_root)
+    elapsed = max(time.monotonic() - t0, 1e-9)
+    _mark("pack_write")
+    seg_stats = {
+        int(r.segment_id): r
+        for r in pending_long.groupBy("segment_id")
+        .agg(
             F.count(F.lit(1)).alias("n_postings"),
             F.countDistinct("doc_id").alias("n_docs"),
-        ).head()
+        )
+        .collect()
+    }
+    pending_long.unpersist()
+    _mark("seg_stats")
+
+    total_postings = sum(int(r.n_postings) for r in seg_stats.values()) or 1
+    done = 0
+    for seg in pending:
+        r = seg_stats.get(seg)
+        seg_path = os.path.join(blocks_root, f"segment_id={seg}")
         _commit_manifest(
             index,
             {
                 "segment_id": seg,
                 "status": "committed",
-                "n_docs": int(agg.n_docs),
-                "n_postings": int(agg.n_postings),
-                "bytes": _dir_bytes(seg_blocks_path),
+                "n_docs": int(r.n_docs) if r else 0,
+                "n_postings": int(r.n_postings) if r else 0,
+                "bytes": _dir_bytes(seg_path),
                 "built_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "lineage": json.dumps(
                     {
                         "segment_of": n_segments,
                         "assign": "pmod(xxhash64(doc_id), n_segments)",
                         "cfg": {"block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b},
-                        "postings_per_sec": round(int(agg.n_postings) / elapsed, 1),
+                        # batch-level write rate (one job packs all pending)
+                        "postings_per_sec": round(total_postings / elapsed, 1),
                     }
                 ),
             },
         )
         done += 1
         if fail_after_segment is not None and done >= fail_after_segment:
-            long.unpersist()
             raise RuntimeError(f"injected failure after segment {seg}")
-    long.unpersist()
     return index

@@ -28,6 +28,13 @@ import pandas as pd
 _EPOCH = "2024-10-22 00:00:00"
 
 
+def expand_query_text(text: str, paragraph: int = 0) -> str:
+    """Suffix a query's words to match an expand_text corpus's vocabulary."""
+    import re
+
+    return re.sub(r"([a-z0-9]+)", rf"\1v{paragraph}", text)
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -42,8 +49,27 @@ def _wrap_udf():
     return _wrap
 
 
-def web_pages_from_documents(docs: DataFrame, replicate: int = 1) -> DataFrame:
-    """documents(doc_id,text,lang,source,n_chars) → web_pages(url,warc_ts,html,text,lang)."""
+def web_pages_from_documents(
+    docs: DataFrame, replicate: int = 1, expand_text: int = 1
+) -> DataFrame:
+    """documents(doc_id,text,lang,source,n_chars) → web_pages(url,warc_ts,html,text,lang).
+
+    ``expand_text`` > 1 turns each text into k "\\n\\n"-joined paragraphs where
+    paragraph i's words carry the deterministic suffix ``v{i}`` — fixture
+    scaling toward realistic Common-Crawl pages (KB-sized, multi-chunk, a
+    vocabulary hundreds of terms wide with a zipfian head) without external
+    data; the driver corpus stays the only source. Query texts must be
+    suffixed the same way to hit the expanded vocabulary (see
+    expand_query_text).
+    """
+    if expand_text > 1:
+        paras = F.transform(
+            F.sequence(F.lit(0), F.lit(expand_text - 1)),
+            lambda i: F.regexp_replace(
+                F.col("text"), F.lit("([a-z0-9]+)"), F.concat(F.lit("$1v"), i.cast("string"))
+            ),
+        )
+        docs = docs.withColumn("text", F.concat_ws("\n\n", paras))
     base = docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")).alias("url"),
         (F.to_timestamp(F.lit(_EPOCH)) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),

@@ -47,3 +47,32 @@ def analyze_udf(cfg: AnalyzerConfig = AnalyzerConfig()):
         return analyze_series(text, cfg)
 
     return _analyze
+
+
+def analyze_counts_udf(cfg: AnalyzerConfig = AnalyzerConfig()):
+    """string text → struct<tokens array<string>, term_counts map<string,int>>.
+
+    One tokenize+stem pass yielding both the ordered token stream (needed by
+    shingling/simhash/embeddings) and the per-doc term counts. Emitting the
+    counts map from the SAME Arrow batch removes the engine's largest
+    shuffle: tf no longer needs a (doc, term)-keyed groupBy over one row per
+    token occurrence — the map explode IS the (doc, term, tf) relation.
+    """
+    from collections import Counter
+
+    from pyspark.sql.types import IntegerType, MapType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("term_counts", MapType(StringType(), IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _analyze(text: pd.Series) -> pd.DataFrame:
+        tokens = analyze_series(text, cfg)
+        counts = tokens.map(lambda ts: dict(Counter(ts)))
+        return pd.DataFrame({"tokens": tokens, "term_counts": counts})
+
+    return _analyze

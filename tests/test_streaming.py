@@ -1,0 +1,80 @@
+"""Streaming incremental build: micro-batch segments equal batch-built ones
+and are queryable alongside them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.build.segments import (
+    SegmentedIndex, build_segmented_index, unpack_blocks,
+)
+from splade_spark.config import DEFAULT
+from splade_spark.fixtures import queries_df
+from splade_spark.query.wand import topk_wand
+from splade_spark.sources.web_pages import read_documents, web_pages_from_documents
+
+from tests.conftest import SF_SMALL
+
+
+def test_stream_segments_match_batch(spark, tmp_path):
+    from splade_spark.streaming import stream_build_segments
+
+    pages = web_pages_from_documents(read_documents(spark, SF_SMALL)).cache()
+    first = pages.filter(F.col("url").endswith("0") | F.col("url").endswith("1"))
+    rest = pages.subtract(first)
+
+    # batch fit + first segment over the initial corpus slice... the fit must
+    # cover the FULL corpus for score stability, mirroring a fit prefix:
+    # fit on everything, build batch segments over `first` only.
+    idx_dir = str(tmp_path / "idx")
+    build_segmented_index(pages, idx_dir, DEFAULT, n_segments=1)
+    # wipe the batch segment, keep the fit → streamed segments re-add postings
+    import shutil, os
+
+    shutil.rmtree(os.path.join(idx_dir, "blocks"))
+    os.remove(os.path.join(idx_dir, "_manifest", "0.json"))
+    idx = SegmentedIndex(idx_dir)
+    assert idx.committed_segments() == {}
+
+    # stream the whole corpus through a file source in two micro-batches
+    stream_src = str(tmp_path / "stream_src")
+    first.coalesce(1).write.mode("overwrite").parquet(stream_src)
+    schema = pages.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_src)
+    q = stream_build_segments(
+        stream, idx_dir, DEFAULT, use_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rest.coalesce(1).write.mode("append").parquet(stream_src)
+    q2 = stream_build_segments(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_src),
+        idx_dir, DEFAULT, use_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+
+    segs = idx.committed_segments()
+    assert len(segs) >= 1
+    assert all(s >= 1000 for s in segs)
+    for m in segs.values():
+        assert '"mode": "streaming-foreachBatch"' in m["lineage"]
+
+    # streamed postings == batch postings (same fit, same docs)
+    from splade_spark.build.indexer import build_index_frames
+
+    frames = build_index_frames(pages, DEFAULT, use_html=True)
+    streamed = unpack_blocks(idx.blocks(spark)).select("term_id", "doc_id", "impact")
+    batch = frames.postings.select("term_id", "doc_id", "impact")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # and the streamed index answers queries identically to the batch frames
+    from splade_spark.query.naive import topk_naive
+
+    want = topk_naive(queries_df(spark), frames.postings, frames.dictionary, k=5)
+    got = topk_wand(queries_df(spark), idx.blocks(spark), idx.dictionary(spark), k=5)
+    w = {(r.query_id, r.rank): (r.doc_id, round(r.score, 6)) for r in want.collect()}
+    g = {(r.query_id, r.rank): (r.doc_id, round(r.score, 6)) for r in got.collect()}
+    assert w == g
