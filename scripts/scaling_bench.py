@@ -26,6 +26,13 @@ import tempfile
 import time
 
 
+def _burn(_):
+    s = 0
+    for i in range(2 * 10**7):
+        s += i * i
+    return s
+
+
 def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: str,
               expand_text: int = 1) -> dict:
     out_dir = os.path.join(workdir, f"idx_{cpus}_{time.monotonic_ns()}")
@@ -69,18 +76,36 @@ def main() -> None:
     zip_path = os.path.join(repo, "dist", "splade_spark.zip")
     subprocess.run([sys.executable, os.path.join(repo, "scripts", "package.py")], check=True)
 
+    # hardware capacity baseline: effective cores at each occupancy (shared
+    # host → run-to-run noise; this bounds any achievable scaling number)
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    _burn(0)
+    base = time.monotonic() - t0
+    eff_cores = {}
+    for n in (args.n, args.n * 4):
+        t0 = time.monotonic()
+        with mp.Pool(n) as p:
+            p.map(_burn, range(n))
+        eff_cores[n] = round(n * base / (time.monotonic() - t0), 1)
+    hw_ceiling = round(eff_cores[args.n * 4] / (4 * eff_cores[args.n]), 3)
+    print(f"effective cores: {eff_cores}; hardware ceiling for 4x: {hw_ceiling}", flush=True)
+
     workdir = tempfile.mkdtemp(prefix="scaling_")
     try:
-        results = {}
-        for cpus in (args.n, args.n * 4):
-            best = None
-            for _ in range(args.runs):
+        # interleave levels (shared-host noise hits both levels alike)
+        samples: dict[int, list] = {args.n: [], args.n * 4: []}
+        for _ in range(args.runs):
+            for cpus in (args.n, args.n * 4):
                 rec = run_build(cpus, args.sf_dir, args.replicate, workdir, zip_path,
                                 expand_text=args.expand_text)
-                if best is None or rec["docs_per_sec"] > best["docs_per_sec"]:
-                    best = rec
-            results[cpus] = best
-            print(f"local[{cpus}]: {json.dumps(best)}", flush=True)
+                samples[cpus].append(rec)
+                print(f"local[{cpus}]: {json.dumps(rec)}", flush=True)
+        results = {}
+        for cpus, recs in samples.items():
+            recs.sort(key=lambda r: r["docs_per_sec"])
+            results[cpus] = recs[len(recs) // 2]  # median by throughput
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -93,6 +118,9 @@ def main() -> None:
         "docs_per_sec_4n": round(big["docs_per_sec"], 1),
         "postings_n": small["n_postings"],
         "scaling_efficiency": round(eff, 3),
+        "hw_effective_cores": eff_cores,
+        "hw_ceiling_4x": hw_ceiling,
+        "cpu_normalized_efficiency": round(eff / hw_ceiling, 3) if hw_ceiling else None,
         "input_pages": small["n_pages"],
         "sf_dir": args.sf_dir,
     }
@@ -107,15 +135,21 @@ def main() -> None:
         f"expand={args.expand_text}) "
         f"| local[{args.n}]: {summary['docs_per_sec_n']} docs/s "
         f"| local[{args.n*4}]: {summary['docs_per_sec_4n']} docs/s "
-        f"| **{summary['scaling_efficiency']}** |\n"
+        f"| **{summary['scaling_efficiency']}** "
+        f"| {summary['hw_ceiling_4x']} | {summary['cpu_normalized_efficiency']} |\n"
     )
     header = (
         "# BENCH — measured numbers\n\n"
         "## N → 4N scaling (spark-submit build, identical staged input, "
         "steady-state workers)\n\n"
         "efficiency = throughput(4N) / (4 · throughput(N)); target ≥ 0.8 "
-        "(BASELINE.json north_rule; cores stand in for executors in this sandbox).\n\n"
-        "| when | input | N | 4N | efficiency |\n|---|---|---|---|---|\n"
+        "(BASELINE.json north_rule; cores stand in for executors in this sandbox).\n"
+        "hw ceiling = what this shared-host VM's CPUs deliver for a pure-python "
+        "compute fleet at the same two occupancies (measured per run) — the "
+        "single-box bound that a real 4N-executor cluster (4x memory bandwidth, "
+        "4x disk, 4x cores) does not have. cpu-norm = efficiency / ceiling.\n\n"
+        "| when | input | N | 4N | efficiency | hw ceiling | cpu-norm |\n"
+        "|---|---|---|---|---|---|---|\n"
     )
     if not os.path.exists(path):
         with open(path, "w") as f:
