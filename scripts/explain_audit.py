@@ -45,14 +45,25 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
     frames = build_index_from_docs(docs, NOSTEM)
 
+    def _plan(df) -> str:
+        return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
     failures = []
 
-    def check(name: str, plan: str, patterns: dict[str, str]) -> None:
+    def check(name: str, plan: str, patterns: dict[str, str],
+              forbidden: dict[str, str] | None = None) -> None:
         print(f"\n{'='*20} {name} {'='*20}")
         print(plan[:4000])
         for label, pat in patterns.items():
             ok = re.search(pat, plan) is not None
             print(f"  [{'ok' if ok else 'MISSING'}] {label}")
+            if not ok:
+                failures.append(f"{name}: {label}")
+        for label, pat in (forbidden or {}).items():
+            ok = re.search(pat, plan) is None
+            print(f"  [{'ok' if ok else 'PRESENT (bad)'}] {label}")
             if not ok:
                 failures.append(f"{name}: {label}")
 
@@ -68,40 +79,41 @@ def main() -> None:
         seek = postings.filter(F.col("term_id") == 7).select("doc_id", "impact")
         check(
             "postings index-seek scan",
-            seek._jdf.queryExecution().explainString("formatted"),
+            _plan(seek),
             {
                 "filter pushed to parquet": r"PushedFilters: \[.*(EqualTo|IsNotNull)\(term_id",
                 "column pruning (no tf col)": r"ReadSchema: [^\n]*doc_id[^\n]*impact",
-                "codegen": r"WholeStageCodegen",
+                "codegen": r"codegen id",
             },
         )
 
         # 2) naive query path
         q = topk_naive(queries_df(spark), postings, frames.dictionary, k=5, cfg=NOSTEM)
-        plan = q._jdf.queryExecution().explainString("formatted")
+        plan = _plan(q)
         check(
             "naive BM25 top-k",
             plan,
             {
                 "query side broadcast": r"BroadcastHashJoin|BroadcastExchange",
                 "partial aggregation": r"HashAggregate[\s\S]*HashAggregate",
-                "codegen": r"WholeStageCodegen",
+                "codegen": r"codegen id",
             },
         )
 
-        # 3) tf aggregation (build hot path)
-        tf_plan = term_freqs(frames.docs)._jdf.queryExecution().explainString("formatted")
+        # 3) tf (build hot path): with analyzer-emitted count maps this must
+        # be a pure map explode — NO shuffle, NO aggregate (the engine's
+        # largest shuffle was designed out; its absence is the property)
+        tf_plan = _plan(term_freqs(frames.docs))
         check(
-            "tf aggregation",
+            "tf map-explode",
             tf_plan,
-            {"partial aggregation": r"partial_count|HashAggregate[\s\S]*HashAggregate"},
+            {"map explode": r"Generate"},
+            forbidden={"no shuffle": r"Exchange", "no aggregate": r"HashAggregate"},
         )
 
         # 4) global top-k without window → TakeOrderedAndProject
         scored = postings.groupBy("doc_id").agg(F.sum("impact").alias("s"))
-        topk_plan = (
-            scored.orderBy(F.desc("s")).limit(5)._jdf.queryExecution().explainString("formatted")
-        )
+        topk_plan = _plan(scored.orderBy(F.desc("s")).limit(5))
         check("orderBy+limit", topk_plan, {"TakeOrderedAndProject": r"TakeOrderedAndProject"})
 
     print("\n" + ("ALL CHECKS PASSED" if not failures else f"FAILURES: {failures}"))
