@@ -272,6 +272,20 @@ def _q_ann_brute_topk(spark, sf_dir):
     )
 
 
+def _q_splade_topk(spark, sf_dir):
+    from splade_spark.build.expansion import expansion_table, topk_splade
+    from splade_spark.build.postings import term_freqs
+    from splade_spark.config import NOSTEM
+    from splade_spark.fixtures import queries_df
+
+    frames = _frames(spark, sf_dir)
+    exp = expansion_table(term_freqs(frames.docs), frames.corpus_stats, m=2, alpha=0.3)
+    out = topk_splade(queries_df(spark), frames, exp, k=5, cfg=NOSTEM)
+    return out.select(
+        F.col("query_id").cast("long"), "doc_id", F.col("rank").cast("long").alias("rank"), _e6("score")
+    )
+
+
 # ---- rows-only entries (no SQL equivalent; weaker driver check + pytest) ----
 
 def _q_minhash_near_dups(spark, sf_dir):
@@ -340,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_cosine_topk": _q_dense_cosine_topk,
         "rrf_hybrid_k5": _q_rrf_hybrid,
         "ann_brute_topk": _q_ann_brute_topk,
+        "splade_topk_k5": _q_splade_topk,
         # rows-only (non-SQL-expressible; covered by pytest goldens instead)
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
@@ -703,6 +718,59 @@ rrf_ranked AS (
 SELECT query_id::BIGINT AS query_id, doc_id, rank::BIGINT AS rank,
        CAST(round(rrf_score*1e9) AS BIGINT) AS rrf_e9
 FROM rrf_ranked WHERE rank <= 5""",
+        "splade_topk_k5": f"""WITH {base}{_query_ctes()},
+cooc AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM tf a JOIN tf b USING (doc_id)
+  WHERE a.term != b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 2
+),
+npmi0 AS (
+  SELECT term_a, term_b, n_ab,
+         ln((n_ab::DOUBLE / s.n_docs) /
+            ((fa.df::DOUBLE / s.n_docs) * (fb.df::DOUBLE / s.n_docs)))
+           / (-ln(n_ab::DOUBLE / s.n_docs)) AS npmi
+  FROM cooc
+  JOIN dft fa ON fa.term = cooc.term_a
+  JOIN dft fb ON fb.term = cooc.term_b, stats s
+),
+expn AS (
+  SELECT term_a, term_b, 0.3 * npmi AS weight
+  FROM (SELECT *, row_number() OVER (PARTITION BY term_a
+                                     ORDER BY round(npmi, 9) DESC, term_b ASC) AS rk
+        FROM npmi0 WHERE npmi > 0) r
+  WHERE rk <= 2
+),
+spl_imp AS (
+  SELECT doc_id, term, max(impact) AS impact FROM (
+    SELECT doc_id, term, impact FROM impacts
+    UNION ALL
+    SELECT i.doc_id, e.term_b AS term, e.weight * i.impact AS impact
+    FROM impacts i JOIN expn e ON i.term = e.term_a
+  ) u GROUP BY doc_id, term
+),
+spl_q AS (
+  SELECT query_id, term, max(qweight) AS qweight FROM (
+    SELECT q.query_id, q.term, q.qtf * d.idf AS qweight
+    FROM qtf q JOIN dict d USING (term)
+    UNION ALL
+    SELECT q.query_id, e.term_b AS term, e.weight * d2.idf AS qweight
+    FROM qtf q JOIN expn e ON q.term = e.term_a JOIN dict d2 ON d2.term = e.term_b
+  ) u GROUP BY query_id, term
+),
+spl_scores AS (
+  SELECT query_id, i.doc_id, sum(qweight * impact) AS score
+  FROM spl_q q JOIN spl_imp i USING (term) GROUP BY query_id, i.doc_id
+),
+spl_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM spl_scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank::BIGINT AS rank,
+       CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM spl_ranked WHERE rank <= 5""",
         "ann_brute_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
 s AS (
