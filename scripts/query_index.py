@@ -26,6 +26,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--queries", default=None)
     ap.add_argument("--output", default=None)
+    ap.add_argument("--format", choices=["parquet", "csv"], default="parquet",
+                    help="sink format (csv mirrors the reference's eval CSV sink)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -57,8 +59,12 @@ def main(argv: list[str] | None = None) -> None:
     else:
         hits = topk_naive(queries, unpack_blocks(blocks), dictionary, k=args.k, cfg=DEFAULT)
     if args.output:
-        hits.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
+        if args.format == "csv":
+            hits.write.mode("overwrite").option("header", True).csv(args.output)
+            n = spark.read.option("header", True).csv(args.output).count()
+        else:
+            hits.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
     else:
         n = hits.count()
     elapsed = time.monotonic() - t0

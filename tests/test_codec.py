@@ -96,3 +96,15 @@ def test_version_byte_rejected():
 def test_varint_count_mismatch_raises():
     with pytest.raises(ValueError):
         varint_decode(varint_encode(np.array([1, 2, 3], dtype=np.uint64)), count=2)
+
+
+def test_frozen_hex_goldens():
+    """Byte format can never drift silently (FIXTURES.md §6)."""
+    d = np.array([-1000, -1, 0, 127, 128, 100000, 2**40], dtype=np.int64)
+    w = np.array([0.5, 1.25, 2.0, 0.125, 3.5, 0.75, 1.0])
+    assert encode_doc_ids(d).hex() == "01cf0fe707017f01a08c06e0f2f9ffff1f"
+    assert encode_impacts(w).hex() == (
+        "0108000000000000e03f000000000000f43f0000000000000040000000000000c03f"
+        "0000000000000c40000000000000e83f000000000000f03f"
+    )
+    assert encode_impacts(w[:3], width=4).hex() == "01040000003f0000a03f00000040"
