@@ -149,6 +149,26 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str, expand: int 
             except ImportError:
                 pass
 
+        # -- per-query p95 (LocalSearcher: collected index, driver-side) ---
+        if blocks is not None:
+            from splade_spark.query.local import LocalSearcher
+
+            searcher = LocalSearcher(
+                [r.asDict() for r in frames.dictionary.collect()],
+                [r.asDict() for r in blocks.collect()],
+                DEFAULT,
+            )
+            qtexts = [t for _, t in qrows]
+            searcher.search(qtexts[0])  # warm
+            lat_local = []
+            for t in qtexts:
+                t0 = time.monotonic()
+                searcher.search(t, 5)
+                lat_local.append(time.monotonic() - t0)
+            lat_local.sort()
+            timings["query_local_p95"] = lat_local[max(0, int(len(lat_local) * 0.95) - 1)]
+            meta["local_qps"] = len(qtexts) / max(sum(lat_local), 1e-9)
+
         # -- per-query p95 (naive, 10 singleton jobs) ----------------------
         lat = []
         single = queries.limit(10).collect()
