@@ -22,7 +22,9 @@ import time
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--mode", choices=["wand", "naive"], default="wand")
+    ap.add_argument("--mode", choices=["wand", "naive", "local"], default="wand",
+                    help="local = collect the index once and answer driver-side "
+                         "(millisecond latency; the reference-REPL analog)")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--queries", default=None)
     ap.add_argument("--output", default=None)
@@ -52,6 +54,33 @@ def main(argv: list[str] | None = None) -> None:
         from splade_spark.fixtures import queries_df
 
         queries = queries_df(spark)
+
+    if args.mode == "local":
+        from splade_spark.query.local import LocalSearcher
+
+        searcher = LocalSearcher.load(spark, args.index, DEFAULT)
+        qrows = [(int(r["query_id"]), r["text"]) for r in queries.collect()]
+        t0 = time.monotonic()
+        results = searcher.search_batch(qrows, k=args.k)
+        elapsed = time.monotonic() - t0
+        n = sum(len(v) for v in results.values())
+        out = [
+            (qid, d, s, i + 1)
+            for qid, hits_ in results.items()
+            for i, (d, s) in enumerate(hits_)
+        ]
+        hits = spark.createDataFrame(out, ["query_id", "doc_id", "score", "rank"])
+        if args.output:
+            if args.format == "csv":
+                hits.write.mode("overwrite").option("header", True).csv(args.output)
+            else:
+                hits.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"mode": "local", "k": args.k, "hits": n,
+                          "query_sec": round(elapsed, 4),
+                          "per_query_ms": round(1000 * elapsed / max(len(qrows), 1), 2)}),
+              flush=True)
+        spark.stop()
+        return
 
     t0 = time.monotonic()
     if args.mode == "wand":
