@@ -272,6 +272,15 @@ def _q_ann_brute_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    from splade_spark.dense import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.4).select(
+        "vec_a", "vec_b", _e6("score")
+    )
+
+
 def _q_splade_topk(spark, sf_dir):
     from splade_spark.build.expansion import expansion_table, topk_splade
     from splade_spark.build.postings import term_freqs
@@ -355,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid_k5": _q_rrf_hybrid,
         "ann_brute_topk": _q_ann_brute_topk,
         "splade_topk_k5": _q_splade_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
         # rows-only (non-SQL-expressible; covered by pytest goldens instead)
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
@@ -771,6 +781,15 @@ spl_ranked AS (
 SELECT query_id::BIGINT AS query_id, doc_id, rank::BIGINT AS rank,
        CAST(round(score * 1e6) AS BIGINT) AS score_e6
 FROM spl_ranked WHERE rank <= 5""",
+        "embedding_near_dups": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  * 1e6) AS BIGINT) AS score_e6
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
         "ann_brute_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
 s AS (

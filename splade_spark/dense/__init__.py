@@ -1,7 +1,12 @@
 from splade_spark.dense.hash_embed import (
     cosine_topk_sparse, hash_embed_docs, hash_embed_queries,
 )
-from splade_spark.dense.ann import brute_cosine_topk, lsh_cosine_topk
+from splade_spark.dense.ann import (
+    brute_cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+    lsh_near_dup_pairs,
+)
 
 __all__ = [
     "hash_embed_docs",
@@ -9,4 +14,6 @@ __all__ = [
     "cosine_topk_sparse",
     "brute_cosine_topk",
     "lsh_cosine_topk",
+    "embedding_near_dup_pairs",
+    "lsh_near_dup_pairs",
 ]

@@ -85,6 +85,87 @@ def _signature(vec_col, planes_col, n_planes: int):
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates: (vec_a, vec_b, score ≥ t).
+
+    The exact O(N²) baseline — fine to a few 10^4 vectors; use
+    ``lsh_near_dup_pairs`` as the scale path.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs — the 10^12-row path.
+
+    Candidates = vector pairs sharing a signature in ANY table (near-dup
+    vectors agree on most hyperplane signs, so collision probability per
+    table is high at cosine ≥ 0.95); exact cosine verifies. The quadratic
+    blow-up is confined to same-bucket minibatches.
+    """
+    if dim is None:
+        dim = len(embeddings.select("embedding").head()[0])
+    e_base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    sigs = []
+    for t in range(n_tables):
+        planes = _planes_lit(dim, n_planes, t)
+        sigs.append(
+            e_base.select(
+                "vec_id", F.lit(t).alias("table"),
+                _signature(F.col("vec"), planes, n_planes).alias("sig"),
+            )
+        )
+    all_sigs = sigs[0]
+    for s in sigs[1:]:
+        all_sigs = all_sigs.unionByName(s)
+    a = all_sigs.select(F.col("vec_id").alias("vec_a"), "table", "sig")
+    b = all_sigs.select(F.col("vec_id").alias("vec_b"), "table", "sig")
+    candidates = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = e_base.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = e_base.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -139,3 +139,24 @@ def test_lsh_recall_vs_brute(spark, embeddings):
          for r in brute_cosine_topk(embeddings, queries, k=2000).collect()}
     for r in lsh_res.collect():
         assert b[(r.query_id, r.vec_id)] == round(r.score, 6)
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    from splade_spark.dense import embedding_near_dup_pairs, lsh_near_dup_pairs
+
+    exact = {(r.vec_a, r.vec_b): round(r.score, 6)
+             for r in embedding_near_dup_pairs(embeddings, threshold=0.4).collect()}
+    assert exact and all(a < b for a, b in exact)
+    # numpy cross-check of a few pairs
+    mat = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embeddings.collect()}
+    for (a, b), s in list(exact.items())[:10]:
+        want = float(mat[a] @ mat[b] / (np.linalg.norm(mat[a]) * np.linalg.norm(mat[b])))
+        assert round(want, 6) == s and want >= 0.4
+    # LSH path: subset of exact (verified scores), reasonable recall
+    lsh = {(r.vec_a, r.vec_b): round(r.score, 6)
+           for r in lsh_near_dup_pairs(embeddings, threshold=0.4,
+                                       n_planes=4, n_tables=8).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
