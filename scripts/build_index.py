@@ -36,6 +36,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--stage-pages", default=None,
                     help="write the derived web_pages table here first and build "
                          "from the parquet (fixture derivation excluded from timing)")
+    ap.add_argument("--dedup", choices=["exact"], default=None,
+                    help="drop exact-duplicate chunk texts before the fit")
     ap.add_argument("--warm-workers", action="store_true",
                     help="pre-fork Python UDF workers before the timed build "
                          "(steady-state throughput measurement)")
@@ -77,7 +79,8 @@ def main(argv: list[str] | None = None) -> None:
         ).count()
     t0 = time.monotonic()
     idx = build_segmented_index(
-        pages, args.output, DEFAULT, use_html=not args.from_docs, n_segments=args.segments
+        pages, args.output, DEFAULT, use_html=not args.from_docs,
+        n_segments=args.segments, dedup=args.dedup,
     )
     elapsed = time.monotonic() - t0
     manifests = idx.committed_segments()

@@ -299,6 +299,7 @@ def build_segmented_index(
     use_html: bool = True,
     n_segments: int | None = None,
     fail_after_segment: int | None = None,
+    dedup: str | None = None,
 ) -> SegmentedIndex:
     """Full resumable build: web_pages → stats/dictionary → per-segment blocks.
 
@@ -349,8 +350,24 @@ def build_segmented_index(
             df = df.repartition(par)
         return df
 
+    if dedup not in (None, "exact"):
+        raise ValueError(f"unsupported dedup mode {dedup!r} (None or 'exact')")
+
     if not fit_done:
         docs = docs_from_chunks(chunk_pages(pages, cfg, use_html=use_html), cfg)
+        if dedup == "exact":
+            # Web-corpus hygiene (task brief): drop exact-duplicate chunk
+            # texts before the fit so corpus stats and postings see each
+            # distinct text once. Canonical survivor = min doc_id per digest
+            # (curation/dedup.py semantics); one extra digest-keyed shuffle.
+            from splade_spark.curation.dedup import exact_dups
+
+            keep = (
+                exact_dups(docs)
+                .filter(F.col("doc_id") == F.col("canonical_id"))
+                .select("doc_id")
+            )
+            docs = docs.join(keep, "doc_id")
         docs.write.mode("overwrite").parquet(docs_path)  # chunk store (checkpoint 0a)
         _mark("chunk_write")
         docs = _read_spread(docs_path)

@@ -1,0 +1,116 @@
+"""Edge-case hardening: degenerate corpora, stopword-only queries, unicode,
+empty payloads — every path should degrade gracefully, never throw."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.build.indexer import build_index_from_docs
+from splade_spark.build.segments import pack_segment
+from splade_spark.config import DEFAULT
+from splade_spark.query.local import LocalSearcher
+from splade_spark.query.naive import topk_naive
+from splade_spark.query.wand import topk_wand
+from splade_spark.text.analyzer import analyze_text
+from splade_spark.text.extractor import extract_text_bytes, wrap_html
+from splade_spark.text.splitter import split_text
+
+
+def test_single_doc_corpus(spark):
+    frames = build_index_from_docs(
+        spark.createDataFrame([(1, "lonely document text")], ["doc_id", "text"]), DEFAULT
+    )
+    q = spark.createDataFrame([(0, "document")], ["query_id", "text"])
+    hits = topk_naive(q, frames.postings, frames.dictionary, k=5).collect()
+    assert [r.doc_id for r in hits] == [1]
+    # N=1: raw idf = ln(0.5/1.5) < 0 → epsilon floor engaged; score finite
+    assert all(abs(r.score) < 1e6 for r in hits)
+
+
+def test_stopword_only_docs_and_queries(spark):
+    rows = [(1, "the and of to"), (2, "real content words here")]
+    frames = build_index_from_docs(spark.createDataFrame(rows, ["doc_id", "text"]), DEFAULT)
+    # doc 1 has zero tokens → doclen 0, no postings; build must not throw
+    doclens = {r.doc_id: r.doclen for r in frames.docs.collect()}
+    assert doclens[1] == 0
+    q = spark.createDataFrame([(0, "the of"), (1, "content")], ["query_id", "text"])
+    hits = topk_naive(q, frames.postings, frames.dictionary, k=5).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    assert 0 not in by_q          # stopword-only query → no hits
+    assert by_q.get(1) == [2]
+
+
+def test_unicode_payloads_roundtrip(spark):
+    texts = [
+        "café naïve résumé",
+        "日本語のテキスト mixed latin",
+        "emoji \U0001f600 \U0001f680 end",
+        "",
+    ]
+    for t in texts:
+        assert extract_text_bytes(wrap_html(t)) == t  # byte-identical invariant
+    # analyzer: non-ascii is dropped by [a-z0-9]+, never crashes
+    assert analyze_text(texts[1], DEFAULT.analyzer) == ["mix", "latin"]
+    # splitter handles multi-byte without breaking characters
+    chunks = split_text(texts[1] * 200, 1000, 100)
+    assert all(isinstance(c, str) for c in chunks)
+    assert "".join(chunks)  # non-empty
+
+
+def test_null_and_empty_html(spark):
+    from splade_spark.build.chunker import chunk_pages
+
+    pages = spark.createDataFrame(
+        [("u1", None), ("u2", b""), ("u3", wrap_html("actual text"))],
+        ["url", "html"],
+    )
+    out = chunk_pages(pages, DEFAULT, use_html=True).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r.url, []).append(r.text)
+    assert "u1" not in by_url and "u2" not in by_url  # empty → no chunks
+    assert by_url["u3"] == ["actual text"]
+
+
+def test_wand_on_empty_and_missing_terms(spark):
+    rows = [(1, "alpha beta"), (2, "beta gamma")]
+    frames = build_index_from_docs(spark.createDataFrame(rows, ["doc_id", "text"]), DEFAULT)
+    blocks = pack_segment(frames.postings, DEFAULT)
+    q = spark.createDataFrame(
+        [(0, "zzznope"), (1, "alpha zzznope")], ["query_id", "text"]
+    )
+    wand = topk_wand(q, blocks, frames.dictionary, k=5).collect()
+    qids = {r.query_id for r in wand}
+    assert 0 not in qids and 1 in qids
+    searcher = LocalSearcher.from_frames(frames, DEFAULT)
+    assert searcher.search("zzznope") == []
+    assert searcher.search("") == []
+
+
+def test_k_larger_than_corpus(spark):
+    rows = [(1, "aa bb"), (2, "aa cc")]
+    frames = build_index_from_docs(spark.createDataFrame(rows, ["doc_id", "text"]), DEFAULT)
+    q = spark.createDataFrame([(0, "aa")], ["query_id", "text"])
+    assert topk_naive(q, frames.postings, frames.dictionary, k=100).count() == 2
+    blocks = pack_segment(frames.postings, DEFAULT)
+    assert topk_wand(q, blocks, frames.dictionary, k=100).count() == 2
+
+
+def test_build_with_exact_dedup(spark, tmp_path):
+    from splade_spark.build.segments import SegmentedIndex, build_segmented_index
+    from splade_spark.sources.web_pages import read_documents, web_pages_from_documents
+
+    pages = web_pages_from_documents(
+        read_documents(spark, "/root/testdata/sf0.001"), replicate=2
+    )  # every text appears exactly twice under distinct urls
+    idx = build_segmented_index(pages, str(tmp_path / "d"), DEFAULT, dedup="exact")
+    n_docs = idx.docs(spark).count()
+    assert n_docs == 500  # 1000 pages → 500 distinct texts
+    assert idx.docs(spark).select("text").distinct().count() == n_docs
+    # stats reflect the deduped corpus
+    assert idx.corpus_stats(spark).head().n_docs == 500
+    with pytest.raises(ValueError):
+        build_segmented_index(pages, str(tmp_path / "e"), DEFAULT, dedup="fuzzy")
