@@ -139,13 +139,19 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str, expand: int 
         # -- query batch (WAND over blocks) --------------------------------
         if blocks is not None:
             try:
-                from splade_spark.query.wand import topk_wand
+                from splade_spark.query.wand import topk_wand, topk_wand_batch
 
                 topk_wand(queries, blocks, frames.dictionary, k=5, cfg=DEFAULT).count()
                 t0 = time.monotonic()
                 topk_wand(queries, blocks, frames.dictionary, k=5, cfg=DEFAULT).count()
                 timings["query_wand_topk5"] = time.monotonic() - t0
                 meta["qps_wand"] = 50 / timings["query_wand_topk5"]
+
+                topk_wand_batch(queries, blocks, frames.dictionary, k=5, cfg=DEFAULT).count()
+                t0 = time.monotonic()
+                topk_wand_batch(queries, blocks, frames.dictionary, k=5, cfg=DEFAULT).count()
+                timings["query_wand_batch_topk5"] = time.monotonic() - t0
+                meta["qps_wand_batch"] = 50 / timings["query_wand_batch_topk5"]
             except ImportError:
                 pass
 

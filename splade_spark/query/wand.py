@@ -98,8 +98,6 @@ def _wand_group(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
         d, s = _decode_term(by_term[tid], qw_of[tid])
         acc_docs, acc_scores = _accumulate(acc_docs, acc_scores, d, s)
 
-    stats = {"pos_blocks": int(sum(len(by_term[t]) for t in pos))}
-
     if neg:
         B = sum(qw_of[t] * float(by_term[t]["max_impact"].max()) for t in neg)
         theta = (
@@ -157,11 +155,154 @@ def topk_wand(
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
-    """queries(query_id, text) → (query_id, doc_id, score, rank) via blocks."""
+    """queries(query_id, text) → (query_id, doc_id, score, rank) via blocks.
+
+    Execution shape: blocks ⋈ broadcast(queries) then one grouped-UDF unit
+    per (query, segment). Best for FEW queries over MANY segments (widest
+    parallelism, block-range skipping per query). For large query batches use
+    ``topk_wand_batch`` — it ships each segment's blocks through Python once
+    total instead of once per matching query.
+    """
     k = k if k is not None else cfg.top_k
     encoded = encode_queries(queries, dictionary, cfg)
     joined = blocks.join(F.broadcast(encoded), "term_id")
     hits = joined.groupBy("query_id", "segment_id").applyInPandas(
         lambda pdf: _wand_group(pdf, k), _HIT_SCHEMA
     )
+    return per_query_topk(hits, k)
+
+
+def _score_queries_against_segment(term_cache: dict, weights_by_query: dict, k: int):
+    """Score every query against one segment's decoded term lists.
+
+    term_cache: term_id -> (docs int64 asc, qw-free impacts f64).
+    Decode cost is paid once per segment regardless of query count; the
+    two-phase pruning survives per query (θ from positive terms, vectorized
+    searchsorted increments for the negative head terms).
+    """
+    out = []
+    for qid, weights in weights_by_query.items():
+        present = [t for t in weights if t in term_cache]
+        if not present:
+            continue
+        pos = [t for t in present if weights[t] > 0]
+        neg = [t for t in present if weights[t] <= 0]
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        for tid in pos:
+            d, w = term_cache[tid]
+            acc_docs, acc_scores = _accumulate(acc_docs, acc_scores, d, weights[tid] * w)
+        if neg:
+            B = sum(weights[t] * float(term_cache[t][1].max()) for t in neg)
+            theta = (
+                np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k] + B
+                if acc_docs.size >= k
+                else -np.inf
+            )
+            if theta > _EPS:
+                keep = acc_scores >= (theta - 2 * _EPS)
+                acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+                for tid in neg:
+                    d, w = term_cache[tid]
+                    idx = np.searchsorted(d, acc_docs)
+                    idx[idx == d.size] = 0
+                    m = d[idx] == acc_docs
+                    if m.any():
+                        acc_scores[m] += weights[tid] * w[idx[m]]
+            else:
+                for tid in neg:
+                    d, w = term_cache[tid]
+                    acc_docs, acc_scores = _accumulate(
+                        acc_docs, acc_scores, d, weights[tid] * w
+                    )
+        if acc_docs.size == 0:
+            continue
+        key = np.round(acc_scores, 6)
+        order = np.lexsort((acc_docs, -key))[:k]
+        for i in order:
+            out.append((qid, int(acc_docs[i]), float(acc_scores[i])))
+    return out
+
+
+def topk_wand_batch(
+    queries: DataFrame,
+    blocks: DataFrame,
+    dictionary: DataFrame,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Batch-optimized WAND: one streaming pass over the blocks, all queries
+    scored per segment from a shared decode cache.
+
+    The encoded query set (tiny: queries × terms) is collected and closed
+    over; blocks are repartitioned by segment and streamed through
+    ``mapInPandas`` once. Cost: O(blocks + Σ_q candidates) instead of the
+    per-query join's O(matching blocks · queries). Rank-identical to
+    topk_wand/naive (tests/test_wand.py).
+
+    Parallelism note: tasks are keyed by segment_id, so wall-clock
+    parallelism ≤ number of segments. That is the right shape at production
+    scale (segments number in the thousands+ since each holds ≤
+    segment_max_docs docs); on a few-segment bench index prefer topk_wand,
+    whose (query × segment) grouping stays wide.
+    """
+    k = k if k is not None else cfg.top_k
+    spark = blocks.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 2
+    enc_rows = encode_queries(queries, dictionary, cfg).collect()
+    weights_by_query: dict[int, dict[int, float]] = {}
+    for r in enc_rows:
+        weights_by_query.setdefault(r["query_id"], {})[r["term_id"]] = float(r["qweight"])
+    if not weights_by_query:
+        return per_query_topk(
+            spark.createDataFrame([], _HIT_SCHEMA), k
+        )
+    wanted_terms = sorted({t for w in weights_by_query.values() for t in w})
+
+    arranged = (
+        blocks.filter(F.col("term_id").isin(wanted_terms))  # index seek + pushdown
+        .select("segment_id", "term_id", "block_id", "n_docs", "docs_bin", "impacts_bin")
+        .repartition(n_partitions, "segment_id")
+        .sortWithinPartitions("segment_id", "term_id", "block_id")
+    )
+
+    def _stream(batches):
+        carry = None
+
+        def score_segment(pdf):
+            cache = {}
+            for tid, g in pdf.groupby("term_id", sort=True):
+                ds, ws = [], []
+                for r in g.itertuples(index=False):
+                    ds.append(decode_doc_ids(r.docs_bin, r.n_docs))
+                    ws.append(decode_impacts(r.impacts_bin, r.n_docs))
+                cache[tid] = (np.concatenate(ds), np.concatenate(ws))
+            rows = _score_queries_against_segment(cache, weights_by_query, k)
+            if rows:
+                return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+            return None
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            segs = pdf["segment_id"].to_numpy()
+            change = np.nonzero(segs[1:] != segs[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            carry = pdf.iloc[starts[-1]:]
+            for s, e in zip(starts[:-1], starts[1:]):
+                out = score_segment(pdf.iloc[s:e])
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            for seg_val, g in carry.groupby("segment_id", sort=True):
+                out = score_segment(g)
+                if out is not None:
+                    yield out
+
+    hits = arranged.mapInPandas(_stream, _HIT_SCHEMA)
     return per_query_topk(hits, k)

@@ -12,7 +12,7 @@ from splade_spark.config import DEFAULT, EngineConfig
 from splade_spark.fixtures import FROZEN_QUERIES, queries_df
 from splade_spark.oracle import PandasOracle
 from splade_spark.query.naive import topk_naive
-from splade_spark.query.wand import topk_wand
+from splade_spark.query.wand import topk_wand, topk_wand_batch
 
 SF = "/root/testdata/sf0.001"
 
@@ -53,6 +53,9 @@ def test_three_way_rank_identity(spark, setup, n_segments, block_size):
     for k in (5, 3):
         naive = _collect(topk_naive(queries_df(spark), frames.postings, frames.dictionary, k=k))
         wand = _collect(topk_wand(queries_df(spark), blocks, frames.dictionary, k=k, cfg=cfg))
+        batch = _collect(
+            topk_wand_batch(queries_df(spark), blocks, frames.dictionary, k=k, cfg=cfg)
+        )
         for qid, text in FROZEN_QUERIES:
             want = [(d, round(s, 6)) for d, s in oracle.topk(text, k)]
             assert naive.get(qid, []) == want, f"naive q{qid}"
@@ -60,6 +63,7 @@ def test_three_way_rank_identity(spark, setup, n_segments, block_size):
                 f"wand q{qid} segs={n_segments} bs={block_size}: "
                 f"{wand.get(qid, [])} != {want}"
             )
+            assert batch.get(qid, []) == want, f"wand_batch q{qid}"
     blocks.unpersist()
 
 
