@@ -93,3 +93,27 @@ def test_rank_identity_full_pipeline(spark):
         _assert_rank_identical(by_q.get(qid, []), hits, qid)
         n_checked += bool(hits)
     assert n_checked >= 40  # vast majority of queries actually hit
+
+
+def test_frozen_topk_golden_file(spark):
+    """Engine must match the COMMITTED golden file (tests/golden/topk_sf001.json)
+    — catches simultaneous drift of engine and live oracle (FIXTURES.md §5)."""
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__), "golden", "topk_sf001.json")) as f:
+        golden = json.load(f)
+    rows = _load_rows()
+    frames = build_index_from_docs(
+        spark.createDataFrame([(d, t) for d, t, _ in rows], ["doc_id", "text"]), DEFAULT
+    )
+    frames.postings.cache().count()
+    for k in (5, 3):
+        got = {}
+        for r in topk_naive(queries_df(spark), frames.postings, frames.dictionary, k=k).collect():
+            got.setdefault(str(r.query_id), []).append((r.rank, r.doc_id, round(r.score, 6)))
+        for qid, hits in golden[str(k)].items():
+            want = [(i + 1, d, s) for i, (d, s) in enumerate(hits)]
+            assert sorted(got.get(qid, [])) == want, f"golden drift q{qid} k={k}"
+        # engine produces rows only for queries the golden says have hits
+        assert set(got) == {q for q, h in golden[str(k)].items() if h}
