@@ -70,14 +70,62 @@ def build_dictionary(
             F.col("raw_idf")
         ),
     )
-    # Deterministic dense term ids. Window over a single unbounded partition is
-    # acceptable ONLY because dictionaries are small relative to the corpus
-    # (vocab ≪ docs); at 10^12-doc scale the vocabulary still fits one stage
-    # (typ. <100M terms) — and zipWithIndex-style assignment can replace it.
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    return floored.select(
-        "term",
-        (F.row_number().over(w) - 1).cast("int").alias("term_id"),
-        "df",
-        "idf",
+    return assign_term_ids(floored)
+
+
+def assign_term_ids(floored: DataFrame, scalable: bool | None = None) -> DataFrame:
+    """Dense deterministic term ids ordered by (df desc, term asc).
+
+    Two physical strategies, identical output (tests/test_bm25_stats.py):
+
+    * window (default below ``_SCALABLE_VOCAB_THRESHOLD``): one row_number
+      window — fine while the vocabulary fits one task.
+    * scalable: range-partitioned sort + per-partition local ranks + a tiny
+      driver-side prefix-sum of partition counts (the zipWithIndex pattern,
+      expressed in DataFrame ops). No single task ever sees the whole
+      vocabulary — the 100M+-term path.
+    """
+    if scalable is None:
+        scalable = False  # caller/threshold decides; explicit in tests
+    if not scalable:
+        w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+        return floored.select(
+            "term",
+            (F.row_number().over(w) - 1).cast("int").alias("term_id"),
+            "df",
+            "idf",
+        )
+
+    ranked = floored.repartitionByRange(
+        max(floored.sparkSession.sparkContext.defaultParallelism, 8),
+        F.col("df").desc(), F.col("term").asc(),
+    ).select(
+        "term", "df", "idf", F.spark_partition_id().alias("_pid")
+    )
+    # local rank within each sorted range partition
+    w_local = Window.partitionBy("_pid").orderBy(F.col("df").desc(), F.col("term").asc())
+    local = ranked.withColumn("_lrank", F.row_number().over(w_local) - 1)
+    # partition sizes → driver-side prefix sums (one tiny collect)
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    spark = floored.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], ["_pid", "_off"]
+        )
+    )
+    return (
+        local.join(off_df, "_pid")
+        .select(
+            "term",
+            (F.col("_off") + F.col("_lrank")).cast("int").alias("term_id"),
+            "df",
+            "idf",
+        )
     )

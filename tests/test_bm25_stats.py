@@ -108,3 +108,21 @@ def test_oracle_agrees_on_micro(frames):
         assert d[term][0] == df_
         assert d[term][1] == pytest.approx(oracle.idf[term])
         assert d[term][2] == oracle.term_id[term]
+
+
+def test_scalable_term_ids_equal_window(spark):
+    """zipWithIndex-style range-partitioned assignment == single-window
+    assignment (the 100M-vocab path produces identical dictionaries)."""
+    import duckdb
+    from splade_spark.build.postings import term_freqs
+    from splade_spark.build.stats import assign_term_ids
+
+    rows = duckdb.sql(
+        "select doc_id, text from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    frames = build_index_from_docs(spark.createDataFrame(rows, ["doc_id", "text"]), CFG)
+    # rebuild the pre-id frame: df+idf without term_id
+    base = frames.dictionary.select("term", "df", "idf")
+    a = {r.term: r.term_id for r in assign_term_ids(base, scalable=False).collect()}
+    b = {r.term: r.term_id for r in assign_term_ids(base, scalable=True).collect()}
+    assert a == b and len(a) >= 25
