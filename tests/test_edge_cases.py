@@ -114,3 +114,29 @@ def test_build_with_exact_dedup(spark, tmp_path):
     assert idx.corpus_stats(spark).head().n_docs == 500
     with pytest.raises(ValueError):
         build_segmented_index(pages, str(tmp_path / "e"), DEFAULT, dedup="fuzzy")
+
+
+def test_warc_ts_partition_pruning(spark, tmp_path):
+    """Time-windowed incremental ingestion: a warc_ts predicate reaches the
+    parquet scan (PushedFilters) so late-crawl reprocessing reads only the
+    matching files — the input_hint timestamp column doing its job."""
+    from splade_spark.sources.web_pages import read_documents, web_pages_from_documents
+
+    pages = web_pages_from_documents(read_documents(spark, "/root/testdata/sf0.001"))
+    path = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    windowed = stored.filter(
+        (F.col("warc_ts") >= "2024-10-22 00:01:00") & (F.col("warc_ts") < "2024-10-22 00:05:00")
+    )
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        windowed._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "warc_ts" in plan.split("PushedFilters")[1][:200]
+    n = windowed.count()
+    assert 0 < n < pages.count()
+    # and the windowed slice builds a valid incremental segment
+    from splade_spark.build.chunker import chunk_pages, docs_from_chunks
+
+    docs = docs_from_chunks(chunk_pages(windowed, DEFAULT, use_html=True), DEFAULT)
+    assert docs.count() == n
