@@ -103,10 +103,16 @@ def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     gaps = np.empty(d.size, dtype=np.uint64)
     gaps[0] = zigzag_encode(d[:1])[0]
     if d.size > 1:
-        deltas = np.diff(d)
-        if (deltas <= 0).any():
+        # Validate order by direct comparison, then take deltas in uint64
+        # modular arithmetic: ascending int64 pairs can gap by more than
+        # 2^63 (doc_ids are full-range xxh64 values), where np.diff on
+        # int64 wraps negative. u[i]-u[i-1] mod 2^64 is exact for any
+        # ascending int64 pair, and decode's int64 cumsum reconstructs
+        # correctly under the same wraparound.
+        if not (d[1:] > d[:-1]).all():
             raise ValueError("doc_ids must be strictly ascending within a block")
-        gaps[1:] = deltas.astype(np.uint64)
+        u = d.astype(np.uint64)
+        gaps[1:] = u[1:] - u[:-1]
     return bytes([VERSION]) + varint_encode(gaps)
 
 

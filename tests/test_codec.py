@@ -50,12 +50,24 @@ def test_varint_roundtrip_property(values):
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(
-        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=256, unique=True
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=256,
+        unique=True,
     )
 )
 def test_doc_ids_roundtrip_property(ids):
     d = np.array(sorted(ids), dtype=np.int64)
     assert (decode_doc_ids(encode_doc_ids(d), len(d)) == d).all()
+
+
+def test_doc_ids_gap_wider_than_int63():
+    """Consecutive gap > 2^63 (rare term spanning half the hash id range) —
+    regression for the int64 np.diff wraparound that rejected valid blocks."""
+    d = np.array([-(2**62) - 2**61, 2**62 + 2**61], dtype=np.int64)
+    assert (decode_doc_ids(encode_doc_ids(d), 2) == d).all()
+    extremes = np.array([-(2**63), 2**63 - 1], dtype=np.int64)
+    assert (decode_doc_ids(encode_doc_ids(extremes), 2) == extremes).all()
 
 
 def test_doc_ids_roundtrip_negative_xxh64_style():
