@@ -6,6 +6,14 @@ pandas UDF does extract→split→doc-id in a single JVM↔Python crossing, then
 ``inline`` explodes chunks JVM-side. Chunk identity is the deterministic
 ``doc_id = xxh64(url, chunk_idx)`` (SURVEY.md §1.4 — replaces uuid4 at
 /root/reference/ingest.py:139).
+
+Tokenization does NOT happen in Python: the chunk UDF additionally emits a
+nullable ``norm`` field (``NFC(chunk).lower()`` for non-ASCII chunks, NULL
+for the ASCII majority), and ``docs_from_chunks`` derives ``tokens`` with
+pure Catalyst expressions (text/catalyst.py) — the round-2 scaling fix.
+Porter2 stemming, when configured, folds the term space downstream via the
+distinct-term stem map (build/postings.py), which yields identical term
+frequencies at a tiny fraction of the per-occurrence cost.
 """
 
 from __future__ import annotations
@@ -17,10 +25,11 @@ from pyspark.sql.types import (
 )
 
 from splade_spark.config import EngineConfig, DEFAULT
+from splade_spark.text.catalyst import nostem_tokens
 from splade_spark.text.extractor import extract_text_bytes
 from splade_spark.text.hashing import chunk_doc_id
 from splade_spark.text.splitter import split_text
-from splade_spark.text.udfs import analyze_udf
+from splade_spark.text.udfs import normalize_text
 
 _CHUNK_STRUCT = ArrayType(
     StructType(
@@ -28,6 +37,9 @@ _CHUNK_STRUCT = ArrayType(
             StructField("chunk_idx", IntegerType()),
             StructField("doc_id", LongType()),
             StructField("chunk", StringType()),
+            # NFC+lower override for non-ASCII chunks; NULL when the chunk is
+            # pure ASCII (then Catalyst lower() is exact) — text/catalyst.py
+            StructField("norm", StringType()),
         ]
     )
 )
@@ -41,7 +53,10 @@ def _chunk_rows_udf(chunk_size: int, chunk_overlap: int, from_html: bool):
             text = extract_text_bytes(p) if from_html else (p or "")
             chunks = split_text(text, chunk_size, chunk_overlap)
             out.append(
-                [(i, chunk_doc_id(u, i), c) for i, c in enumerate(chunks)]
+                [
+                    (i, chunk_doc_id(u, i), c, normalize_text(c))
+                    for i, c in enumerate(chunks)
+                ]
             )
         return pd.Series(out)
 
@@ -49,7 +64,7 @@ def _chunk_rows_udf(chunk_size: int, chunk_overlap: int, from_html: bool):
 
 
 def chunk_pages(pages: DataFrame, cfg: EngineConfig = DEFAULT, use_html: bool = True) -> DataFrame:
-    """web_pages(url, …, html, text, …) → (url, chunk_idx, doc_id, text).
+    """web_pages(url, …, html, text, …) → (url, chunk_idx, doc_id, text, norm).
 
     ``use_html=True`` runs the extractor on the binary column (the production
     path); ``use_html=False`` chunks the ``text`` column directly.
@@ -63,23 +78,19 @@ def chunk_pages(pages: DataFrame, cfg: EngineConfig = DEFAULT, use_html: bool = 
 
 
 def docs_from_chunks(chunks: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """Attach analysis → docs(doc_id, url, chunk_idx, text, tokens, term_counts, doclen).
+    """Attach analysis → docs(doc_id, url, chunk_idx, text, tokens, doclen).
 
-    One analyzer pass yields both the ordered tokens and the term-count map
-    (text/udfs.py analyze_counts_udf) so downstream tf needs no token-level
-    shuffle.
+    ``tokens`` is the SURFACE token stream (NFC → lower → ``[a-z0-9]+`` →
+    stopword filter) computed entirely in Catalyst — whole-stage codegen, no
+    Python objects per token. Stemming (cfg.analyzer.stem) is applied by
+    ``term_freqs(docs, cfg)`` through the distinct-term stem map, which
+    produces identical stemmed term frequencies (tf of stemmed terms is the
+    same multiset whether stemming precedes or follows counting) while
+    running Porter2 once per distinct term instead of once per occurrence.
     """
-    from splade_spark.text.udfs import analyze_counts_udf
-
+    norm = F.col("norm") if "norm" in chunks.columns else F.lit(None).cast("string")
     return (
-        chunks.withColumn("_an", analyze_counts_udf(cfg.analyzer)(F.col("text")))
-        .select(
-            "doc_id",
-            "url",
-            "chunk_idx",
-            "text",
-            F.col("_an.tokens").alias("tokens"),
-            F.col("_an.term_counts").alias("term_counts"),
-        )
+        chunks.withColumn("tokens", nostem_tokens(F.coalesce(norm, F.col("text"))))
+        .select("doc_id", "url", "chunk_idx", "text", "tokens")
         .withColumn("doclen", F.size("tokens"))
     )

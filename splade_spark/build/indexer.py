@@ -3,7 +3,9 @@
 Composes the build stages (SURVEY.md §3.1 Spark lifecycle):
 
     web_pages → chunk(extract+split+doc_id UDF, inline)
-             → analyze (UDF) → tf groupBy (A1, shuffle #1)
+             → tokenize (Catalyst, text/catalyst.py — no Python per token)
+             → tf explode+hash-agg with map-side combine (A1, shuffle #1),
+               stemmed via the broadcast distinct-term stem map (postings.py)
              → corpus_stats + dictionary (A2/B3)
              → impacts (B4, codegen column math)
              → postings_long (J: dictionary term→term_id)
@@ -36,9 +38,18 @@ class IndexFrames:
 
 
 def _assemble(docs: DataFrame, cfg: EngineConfig, salted: bool) -> IndexFrames:
+    from splade_spark.build.postings import surface_term_counts
+
     docs = docs.cache()
     stats = compute_corpus_stats(docs).cache()
-    tf = term_freqs(docs)
+    # Cache the SURFACE tf (shuffle-free run-length over the Catalyst token
+    # stream): it feeds the stem map (distinct over pre-deduped (doc, term)
+    # rows, far cheaper than deduping raw occurrences), the stemmed fold,
+    # the dictionary, and the impacts — one tokenize+count pass total.
+    surface = surface_term_counts(docs).cache()
+    tf = term_freqs(docs, cfg, surface=surface)
+    if cfg.analyzer.stem:
+        tf = tf.cache()  # the fold exchange runs once, not per consumer
     dictionary = build_dictionary(tf, stats, cfg, salted=salted).cache()
     impacts = doc_impacts(tf, stats, cfg)
     postings = postings_long(impacts, dictionary)
@@ -66,19 +77,18 @@ def build_index_from_docs(
     Used for the DuckDB oracle gate, where each documents.parquet row is one
     retrieval unit (all fixture docs are < chunk_size anyway).
     """
-    from splade_spark.text.udfs import analyze_counts_udf
+    from splade_spark.text.catalyst import nostem_tokens
+    from splade_spark.text.udfs import normalized_or_null_udf
 
+    norm = normalized_or_null_udf()(F.col("text"))
     docs = (
         doc_rows.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.lit(None).cast("string").alias("url"),
             F.lit(0).alias("chunk_idx"),
             "text",
-            analyze_counts_udf(cfg.analyzer)(F.col("text")).alias("_an"),
+            nostem_tokens(F.coalesce(norm, F.col("text"))).alias("tokens"),
         )
-        .select("doc_id", "url", "chunk_idx", "text",
-                F.col("_an.tokens").alias("tokens"),
-                F.col("_an.term_counts").alias("term_counts"))
         .withColumn("doclen", F.size("tokens"))
     )
     return _assemble(docs, cfg, salted)

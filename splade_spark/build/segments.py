@@ -276,13 +276,68 @@ class SegmentedIndex:
         return SparkSession.getActiveSession().createDataFrame(data, schema)
 
 
-def _commit_manifest(index: SegmentedIndex, rec: dict) -> None:
-    os.makedirs(index.manifest_dir, exist_ok=True)
-    tmp = os.path.join(index.manifest_dir, f".{rec['segment_id']}.json.tmp")
-    final = os.path.join(index.manifest_dir, f"{rec['segment_id']}.json")
+def _commit_manifest(index: SegmentedIndex, rec: dict, manifest_dir: str | None = None) -> None:
+    mdir = manifest_dir or index.manifest_dir
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{rec['segment_id']}.json.tmp")
+    final = os.path.join(mdir, f"{rec['segment_id']}.json")
     with open(tmp, "w") as f:
         json.dump(rec, f)
     os.replace(tmp, final)  # atomic commit — presence of this file = checkpoint
+
+
+def recover_compaction(index_dir: str) -> None:
+    """Finish (or undo) an interrupted compaction swap — idempotent.
+
+    Compaction stages the new blocks tree at ``blocks_compact`` and the new
+    manifests at ``_manifest_next``; writing ``_manifest_next/COMPLETE`` is
+    THE commit point. This routine rolls a completed staging forward (swap
+    blocks, then manifests, keeping the marker until both live) and rolls an
+    incomplete staging back, so a crash at ANY point leaves the index with
+    exactly one consistent (blocks, manifests) pair. Called at the start of
+    compaction and of ``build_segmented_index`` (ADVICE r1: the old swap
+    could crash into a state with no live blocks dir or zero manifests).
+    """
+    import shutil
+
+    blocks = os.path.join(index_dir, "blocks")
+    staged = os.path.join(index_dir, "blocks_compact")
+    backup = os.path.join(index_dir, "blocks_old")
+    man = os.path.join(index_dir, "_manifest")
+    man_next = os.path.join(index_dir, "_manifest_next")
+    man_old = os.path.join(index_dir, "_manifest_old")
+
+    if os.path.exists(os.path.join(man_next, "COMPLETE")):
+        # committed staging → roll FORWARD
+        if os.path.isdir(staged):
+            if os.path.isdir(blocks):
+                if os.path.isdir(backup):
+                    shutil.rmtree(backup)
+                os.rename(blocks, backup)
+            os.rename(staged, blocks)
+        if os.path.isdir(man):
+            if os.path.isdir(man_old):
+                shutil.rmtree(man_old)
+            os.rename(man, man_old)
+        os.rename(man_next, man)  # COMPLETE rides along; removed below
+    elif os.path.isdir(man_next):
+        # staging never reached its commit point → roll BACK
+        shutil.rmtree(man_next)
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+
+    marker = os.path.join(man, "COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
+    if os.path.isdir(backup) and os.path.isdir(blocks):
+        shutil.rmtree(backup)
+    if os.path.isdir(man_old) and os.path.isdir(man):
+        shutil.rmtree(man_old)
+    if os.path.isdir(staged) and not os.path.isdir(man_next):
+        if os.path.isdir(blocks):
+            shutil.rmtree(staged)  # stale staged blocks from a rolled-back run
+        else:
+            os.rename(staged, blocks)  # never delete the only blocks copy
 
 
 def _dir_bytes(path: str) -> int:
@@ -317,6 +372,7 @@ def build_segmented_index(
     from splade_spark.build.stats import build_dictionary, compute_corpus_stats
 
     spark = pages.sparkSession
+    recover_compaction(index_dir)  # finish/undo any interrupted compaction swap
     index = SegmentedIndex(index_dir)
     # Compute-dense stages (extract/analyze UDFs) must not inherit the scan's
     # byte-based partitioning: a small-but-heavy input collapses to 1-2 tasks
@@ -374,18 +430,39 @@ def build_segmented_index(
         compute_corpus_stats(docs).write.mode("overwrite").parquet(stats_path)
         _mark("stats")
         stats = spark.read.parquet(stats_path)
-        tf = term_freqs(docs)
+        from splade_spark.build.postings import surface_term_counts
+
+        surface = surface_term_counts(docs).cache()
+        tf = term_freqs(docs, cfg, surface=surface)
         build_dictionary(tf, stats, cfg).write.mode("overwrite").parquet(dict_path)
+        surface.unpersist()
         _mark("dictionary")
 
     docs = _read_spread(docs_path)
     stats = index.corpus_stats(spark)
     dictionary = index.dictionary(spark).cache()
 
+    committed = index.committed_segments()
+    # Resume safety (ADVICE r1): the hash layout pmod(xxhash64(doc_id), N)
+    # is baked into every committed segment. Adopt the recorded N on resume;
+    # refuse a conflicting caller-requested N — mixing two layouts in one
+    # blocks tree would silently duplicate/drop postings at query time.
+    recorded = {
+        json.loads(r["lineage"]).get("segment_of") for r in committed.values()
+    } - {None}
+    if len(recorded) > 1:
+        raise ValueError(f"corrupt index: mixed segment_of values {sorted(recorded)}")
+    if recorded:
+        rec_n = int(recorded.pop())
+        if n_segments is not None and int(n_segments) != rec_n:
+            raise ValueError(
+                f"resume with n_segments={n_segments} conflicts with committed "
+                f"layout segment_of={rec_n}; pass n_segments={rec_n} or rebuild"
+            )
+        n_segments = rec_n
     if n_segments is None:
         n_segments = n_segments_for(stats.head().n_docs, cfg)
 
-    committed = index.committed_segments()
     pending = [s for s in range(n_segments) if s not in committed]
     if not pending:
         return index
@@ -396,7 +473,10 @@ def build_segmented_index(
     # planning/codegen latency per job, a serial floor that dominated build
     # time at bench scale. Crash mid-write leaves no new manifests → the
     # whole pending set rebuilds; committed segments stay untouched.
-    tf = term_freqs(docs)
+    from splade_spark.build.postings import surface_term_counts
+
+    surface = surface_term_counts(docs).cache()
+    tf = term_freqs(docs, cfg, surface=surface)
     impacts = doc_impacts(tf, stats, cfg)
     long = with_segment_id(postings_long(impacts, dictionary), n_segments)
     pending_long = long.filter(F.col("segment_id").isin(pending)).cache()
@@ -417,6 +497,7 @@ def build_segmented_index(
         .collect()
     }
     pending_long.unpersist()
+    surface.unpersist()
     _mark("seg_stats")
 
     total_postings = sum(int(r.n_postings) for r in seg_stats.values()) or 1

@@ -72,7 +72,7 @@ def stream_build_segments(
         dictionary = index.dictionary(spark)
 
         docs = docs_from_chunks(chunk_pages(batch_df, cfg, use_html=use_html), cfg)
-        tf = term_freqs(docs)
+        tf = term_freqs(docs, cfg)
         impacts = doc_impacts(tf, stats, cfg)
         long = postings_long(impacts, dictionary).withColumn(
             "segment_id", F.lit(seg_id).cast("int")

