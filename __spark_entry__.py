@@ -295,8 +295,6 @@ def _q_splade_topk(spark, sf_dir):
     )
 
 
-# ---- rows-only entries (no SQL equivalent; weaker driver check + pytest) ----
-
 def _q_minhash_near_dups(spark, sf_dir):
     from splade_spark.curation import minhash_near_dup_pairs
 
@@ -320,7 +318,9 @@ def _q_lsh_ann_topk(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_cosine_topk(emb, qs, k=10).select(
+    # dim=64 is the fixture embedding width (TESTDATA.md) — passed explicitly
+    # so plan construction triggers no driver-side job (VERDICT.md Wrong #4)
+    return lsh_cosine_topk(emb, qs, k=10, dim=64).select(
         F.col("query_id").cast("long"), "vec_id", F.col("rank").cast("long").alias("rank"), _e6("score")
     )
 
@@ -365,7 +365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute_topk,
         "splade_topk_k5": _q_splade_topk,
         "embedding_near_dups": _q_embedding_near_dups,
-        # rows-only (non-SQL-expressible; covered by pytest goldens instead)
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -561,6 +560,161 @@ dense_ranked AS (
                             ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM dcos
 )"""
+
+
+def _minhash_near_dups_sql(threshold: float = 0.2, n_hashes: int = 64, n_bands: int = 16) -> str:
+    """LSH-banded MinHash near-dup pairs, exact-Jaccard verified — the SQL
+    replay of curation/dedup.py minhash_near_dup_pairs (engine defaults).
+
+    Band equality: the engine compares md5 of the lexicographically-sorted
+    "i:sig" list, the oracle compares the i-ordered string_agg — both are
+    canonical forms of the same (i, sig) set, so the equi-joins agree.
+    """
+    rpb = n_hashes // n_bands
+    return f"""WITH {_base_ctes()}{_shingle_ctes()},
+mh AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(shingle||'#101'),1,8))::UBIGINT::BIGINT % 2147483647 AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, i::BIGINT AS i, min((a * h + b) % 2147483647)::BIGINT AS sig
+  FROM mh CROSS JOIN {_minhash_seeds_sql(n_hashes)}
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // {rpb})::INT AS band,
+         string_agg(i || ':' || sig, ',' ORDER BY i) AS bsig
+  FROM sigs GROUP BY doc_id, (i // {rpb})::INT
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         i.inter / (sa.n_shingles + sb.n_shingles - i.inter)::DOUBLE AS jaccard
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(round(jaccard * 1e6) AS BIGINT) AS jaccard_e6
+FROM verified WHERE jaccard >= {threshold}"""
+
+
+def _fingerprints_sql(k: int = 8, w: int = 4) -> str:
+    """Winnowing fingerprints (curation/fingerprint.py) replayed in SQL:
+    Karp-Rabin k-gram hashes over utf-8 bytes (via hex expansion, HUGEINT
+    modular arithmetic, modulus 2^61-1), then min per full window of w
+    consecutive hashes; docs with ≤ w hashes contribute their single min.
+    """
+    mod = (1 << 61) - 1
+    pows = [257 ** (k - 1 - j) for j in range(k)]  # weight of offset j
+    pow_case = " ".join(f"WHEN {j} THEN {p}::HUGEINT" for j, p in enumerate(pows))
+    return f"""WITH hx AS (
+  SELECT doc_id,
+         hex(encode(text)) || repeat('00', greatest({k} - octet_length(encode(text)), 0)) AS h,
+         greatest(octet_length(encode(text)), {k}) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, i, ('0x' || substr(h, i * 2 + 1, 2))::INT AS byte
+  FROM (SELECT doc_id, h, n, unnest(range(n)) AS i FROM hx) u
+),
+kh AS (
+  SELECT p.doc_id, p.p, p.n,
+         CAST(sum(b.byte::HUGEINT * (CASE b.i - p.p {pow_case} END)) % {mod} AS BIGINT) AS hash
+  FROM (SELECT doc_id, n, unnest(range(n - {k - 1})) AS p FROM hx) p
+  JOIN bytes b ON b.doc_id = p.doc_id AND b.i BETWEEN p.p AND p.p + {k - 1}
+  GROUP BY p.doc_id, p.p, p.n
+),
+wm AS (
+  SELECT doc_id, p, n,
+         min(hash) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin
+  FROM kh
+),
+fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp
+  FROM wm WHERE n - {k - 1} > {w} AND p <= n - {k - 1 + w}
+  UNION
+  SELECT doc_id, min(hash) AS fp
+  FROM kh WHERE n - {k - 1} <= {w} GROUP BY doc_id
+)
+SELECT doc_id, fp FROM fps"""
+
+
+def _lsh_planes_values_sql(dim: int, n_planes: int = 8, n_tables: int = 4) -> str:
+    """The deterministic hyperplane matrices (dense/ann.py _planes_lit) as an
+    inline VALUES relation (tbl, p, plane DOUBLE[]) — full-precision reprs so
+    the SQL replay bit-matches the engine's literal planes."""
+    import numpy as np
+
+    rows = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(42 + t)
+        planes = rng.standard_normal((n_planes, dim))
+        for p in range(n_planes):
+            vals = ", ".join(repr(float(v)) for v in planes[p])
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    return "(VALUES " + ", ".join(rows) + ") AS planes(tbl, p, plane)"
+
+
+def _lsh_ann_sql(dim: int = 64, k: int = 10, n_planes: int = 8, n_tables: int = 4) -> str:
+    """Random-hyperplane LSH cosine top-k (dense/ann.py lsh_cosine_topk):
+    per-table 8-bit signatures (bit p weighted 2^(n_planes-1-p)), 1-bit
+    multi-probe on the query side, exact cosine on candidates only."""
+    return f"""WITH pl AS (SELECT * FROM {_lsh_planes_values_sql(dim, n_planes, n_tables)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+esig AS (
+  SELECT e.vec_id, pl.tbl,
+         sum(CASE WHEN list_dot_product(pl.plane, e.v) >= 0
+                  THEN cast(pow(2, {n_planes - 1} - pl.p) AS BIGINT) ELSE 0 END) AS sig
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.tbl
+),
+qsig0 AS (
+  SELECT q.query_id, pl.tbl,
+         sum(CASE WHEN list_dot_product(pl.plane, q.qv) >= 0
+                  THEN cast(pow(2, {n_planes - 1} - pl.p) AS BIGINT) ELSE 0 END) AS sig0
+  FROM q CROSS JOIN pl GROUP BY q.query_id, pl.tbl
+),
+qsig AS (
+  SELECT DISTINCT query_id, tbl, sig FROM (
+    SELECT query_id, tbl, sig0 AS sig FROM qsig0
+    UNION ALL
+    SELECT query_id, tbl, xor(sig0, cast(pow(2, b) AS BIGINT)) AS sig
+    FROM qsig0 CROSS JOIN (SELECT unnest(range({n_planes})) AS b) bits
+  ) u
+),
+cand AS (
+  SELECT DISTINCT qs.query_id, es.vec_id
+  FROM esig es JOIN qsig qs ON es.tbl = qs.tbl AND es.sig = qs.sig
+  WHERE es.vec_id != qs.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, vec_id, rank::BIGINT AS rank,
+       CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM r WHERE rank <= {k}"""
 
 
 def _langid_sql() -> str:
@@ -808,4 +962,8 @@ r AS (
 SELECT query_id::BIGINT AS query_id, vec_id, rank::BIGINT AS rank,
        CAST(round(score*1e6) AS BIGINT) AS score_e6
 FROM r WHERE rank <= 10""",
+        # round-2 oracles for the former rows-only entries (VERDICT.md #3/#4)
+        "minhash_near_dups": _minhash_near_dups_sql(),
+        "fingerprints": _fingerprints_sql(),
+        "lsh_ann_topk": _lsh_ann_sql(),
     }

@@ -126,7 +126,7 @@ def test_lsh_recall_vs_brute(spark, embeddings):
     for r in brute_cosine_topk(embeddings, queries, k=10).collect():
         brute[r.query_id].add(r.vec_id)
     lsh = defaultdict(set)
-    lsh_res = lsh_cosine_topk(embeddings, queries, k=10, n_planes=6)
+    lsh_res = lsh_cosine_topk(embeddings, queries, k=10, n_planes=6, dim=64)
     for r in lsh_res.collect():
         lsh[r.query_id].add(r.vec_id)
     recalls = [
@@ -155,7 +155,7 @@ def test_embedding_near_dup_pairs(spark, embeddings):
     # LSH path: subset of exact (verified scores), reasonable recall
     lsh = {(r.vec_a, r.vec_b): round(r.score, 6)
            for r in lsh_near_dup_pairs(embeddings, threshold=0.4,
-                                       n_planes=4, n_tables=8).collect()}
+                                       n_planes=4, n_tables=8, dim=64).collect()}
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert exact[k] == v
