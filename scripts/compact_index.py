@@ -5,10 +5,14 @@
         --index /tmp/idx [--target-segments 1]
 
 Reads every committed segment's blocks, k-way merges posting lists by doc_id
-per term, re-blocks into ``--target-segments`` hash segments, rewrites the
-blocks tree and manifests atomically (old manifests removed only after the
-new data + manifests land). Query results are unchanged (same postings, new
-physical grouping) — asserted by tests/test_compaction.py.
+per term, re-blocks into ``--target-segments`` hash segments, and swaps the
+blocks tree + manifests CRASH-SAFELY: the new tree and new manifests are
+fully staged first (``blocks_compact`` / ``_manifest_next``), the atomic
+commit point is the ``_manifest_next/COMPLETE`` marker, and the actual swap
+is the idempotent ``recover_compaction`` routine (build/segments.py) that
+also runs at every build/compact start — a crash at any instant leaves
+exactly one consistent (blocks, manifests) pair. Query results are unchanged
+(same postings, new physical grouping) — asserted by tests/test_compaction.py.
 """
 
 from __future__ import annotations
@@ -16,7 +20,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -41,12 +44,13 @@ def compact_index(spark, index_dir: str, target_segments: int = 1,
     from pyspark.sql import functions as F
 
     from splade_spark.build.segments import (
-        SegmentedIndex, _commit_manifest, _dir_bytes, pack_segment, unpack_blocks,
-        with_segment_id,
+        SegmentedIndex, _commit_manifest, _dir_bytes, pack_segment,
+        recover_compaction, unpack_blocks, with_segment_id,
     )
     from splade_spark.config import DEFAULT
 
     cfg = cfg or DEFAULT
+    recover_compaction(index_dir)  # finish/undo any interrupted prior swap
     idx = SegmentedIndex(index_dir)
     old = idx.committed_segments()
     if not old:
@@ -67,13 +71,9 @@ def compact_index(spark, index_dir: str, target_segments: int = 1,
     }
     long.unpersist()
 
-    # swap: new tree in place, then manifests (commit point), then cleanup
-    old_root = os.path.join(index_dir, "blocks")
-    backup = os.path.join(index_dir, "blocks_old")
-    os.rename(old_root, backup)
-    os.rename(new_root, old_root)
-    for s in old:
-        os.remove(os.path.join(idx.manifest_dir, f"{s}.json"))
+    # stage ALL new manifests, then the COMPLETE marker (the atomic commit
+    # point), then let the idempotent recovery routine perform the swap
+    man_next = os.path.join(index_dir, "_manifest_next")
     total = sum(int(r.n_postings) for r in seg_stats.values()) or 1
     for seg, r in seg_stats.items():
         _commit_manifest(
@@ -83,7 +83,7 @@ def compact_index(spark, index_dir: str, target_segments: int = 1,
                 "status": "committed",
                 "n_docs": int(r.n_docs),
                 "n_postings": int(r.n_postings),
-                "bytes": _dir_bytes(os.path.join(old_root, f"segment_id={seg}")),
+                "bytes": _dir_bytes(os.path.join(new_root, f"segment_id={seg}")),
                 "built_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "lineage": json.dumps(
                     {
@@ -94,8 +94,11 @@ def compact_index(spark, index_dir: str, target_segments: int = 1,
                     }
                 ),
             },
+            manifest_dir=man_next,
         )
-    shutil.rmtree(backup)
+    with open(os.path.join(man_next, "COMPLETE"), "w") as f:
+        f.write(json.dumps({"target_segments": target_segments}))
+    recover_compaction(index_dir)  # the swap itself (crash-resumable)
     out = {
         "old_segments": len(old),
         "new_segments": len(seg_stats),

@@ -69,7 +69,23 @@ def main(argv: list[str] | None = None) -> None:
             for qid, hits_ in results.items()
             for i, (d, s) in enumerate(hits_)
         ]
-        hits = spark.createDataFrame(out, ["query_id", "doc_id", "score", "rank"])
+        # explicit schema: a no-hit batch yields an empty list, which plain
+        # createDataFrame cannot infer a schema from (ADVICE r1)
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+
+        hits_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("doc_id", LongType()),
+                StructField("score", DoubleType()),
+                StructField("rank", LongType()),
+            ]
+        )
+        hits = spark.createDataFrame(
+            [(int(q), int(d), float(s), int(r)) for q, d, s, r in out], hits_schema
+        )
         if args.output:
             if args.format == "csv":
                 hits.write.mode("overwrite").option("header", True).csv(args.output)

@@ -44,7 +44,9 @@ def shingle_tokens(docs: DataFrame, n: int = 3, tokens_col: str = "tokens") -> D
     """docs(doc_id, tokens) → distinct (doc_id, shingle) word n-grams.
 
     Documents shorter than n tokens yield their whole token string as the
-    single shingle (so tiny docs still participate).
+    single shingle (so tiny docs still participate); zero-token docs yield
+    NO row (ADVICE r1: ``concat_ws`` over an empty array would emit a bogus
+    empty-string shingle, which the SQL oracle rightly never produces).
     """
     toks = F.col(tokens_col)
     grams = F.when(
@@ -56,7 +58,8 @@ def shingle_tokens(docs: DataFrame, n: int = 3, tokens_col: str = "tokens") -> D
         )
     )
     return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        docs.filter(F.size(toks) > 0)
+        .select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 

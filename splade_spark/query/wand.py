@@ -224,6 +224,44 @@ def _score_queries_against_segment(term_cache: dict, weights_by_query: dict, k: 
     return out
 
 
+def topk_wand_auto(
+    queries: DataFrame,
+    blocks: DataFrame,
+    dictionary: DataFrame,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    n_queries: int | None = None,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Pick the WAND execution shape from the batch geometry (VERDICT.md #5).
+
+    * ``topk_wand_batch`` decodes each segment's blocks ONCE for all queries,
+      but its wall-clock parallelism is capped at n_segments — the right
+      shape when segments outnumber cores (production: thousands of
+      segments) and the query batch is large.
+    * ``topk_wand`` runs one task per (query, segment) — widest parallelism,
+      pays a decode per matching query; the right shape for few segments
+      (bench indexes) or small query batches.
+
+    Rule: batch when the segment count alone can keep the cluster busy
+    (n_segments ≥ defaultParallelism) AND the batch is big enough to amortize
+    the shared decode (n_queries ≥ 16); per-query otherwise. Both paths are
+    rank-identical (tests/test_wand.py), so the choice is purely physical.
+
+    ``n_queries`` / ``n_segments`` may be passed by callers that know them
+    (e.g. from the index manifests); otherwise they cost one tiny count each.
+    """
+    spark = blocks.sparkSession
+    if n_queries is None:
+        n_queries = queries.count()
+    if n_segments is None:
+        n_segments = blocks.select("segment_id").distinct().count()
+    par = spark.sparkContext.defaultParallelism
+    if n_segments >= par and n_queries >= 16:
+        return topk_wand_batch(queries, blocks, dictionary, k=k, cfg=cfg)
+    return topk_wand(queries, blocks, dictionary, k=k, cfg=cfg)
+
+
 def topk_wand_batch(
     queries: DataFrame,
     blocks: DataFrame,
