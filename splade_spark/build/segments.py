@@ -348,7 +348,7 @@ def _dir_bytes(path: str) -> int:
 
 
 def build_segmented_index(
-    pages: DataFrame,
+    pages: DataFrame | None,
     index_dir: str,
     cfg: EngineConfig = DEFAULT,
     use_html: bool = True,
@@ -362,7 +362,9 @@ def build_segmented_index(
     persisted. Phase 1 (per segment, checkpointed): impacts → pack → write →
     manifest. Rerunning skips phase 0 if its outputs exist and skips any
     segment with a committed manifest — that is the resume path; nothing
-    committed is recomputed.
+    committed is recomputed. A pre-existing committed ``docs/`` store (e.g.
+    placed there by a streaming re-fit) short-circuits the chunk phase —
+    then ``pages`` may be None.
 
     ``fail_after_segment`` is a test hook: raise after committing that many
     segments (simulates a mid-build crash for tests/test_segments.py).
@@ -371,7 +373,7 @@ def build_segmented_index(
     from splade_spark.build.postings import doc_impacts, postings_long, term_freqs
     from splade_spark.build.stats import build_dictionary, compute_corpus_stats
 
-    spark = pages.sparkSession
+    spark = pages.sparkSession if pages is not None else SparkSession.getActiveSession()
     recover_compaction(index_dir)  # finish/undo any interrupted compaction swap
     index = SegmentedIndex(index_dir)
     # Compute-dense stages (extract/analyze UDFs) must not inherit the scan's
@@ -380,7 +382,7 @@ def build_segmented_index(
     # the session's full parallelism; at real 100TB scale the scan already
     # yields enough partitions and this repartition coalesces nothing.
     par = spark.sparkContext.defaultParallelism * 2
-    if pages.rdd.getNumPartitions() < par:
+    if pages is not None and pages.rdd.getNumPartitions() < par:
         pages = pages.repartition(par)
     stats_path = os.path.join(index_dir, "corpus_stats")
     dict_path = os.path.join(index_dir, "dictionary")
@@ -410,22 +412,29 @@ def build_segmented_index(
         raise ValueError(f"unsupported dedup mode {dedup!r} (None or 'exact')")
 
     if not fit_done:
-        docs = docs_from_chunks(chunk_pages(pages, cfg, use_html=use_html), cfg)
-        if dedup == "exact":
-            # Web-corpus hygiene (task brief): drop exact-duplicate chunk
-            # texts before the fit so corpus stats and postings see each
-            # distinct text once. Canonical survivor = min doc_id per digest
-            # (curation/dedup.py semantics); one extra digest-keyed shuffle.
-            from splade_spark.curation.dedup import exact_dups
+        docs_ready = os.path.exists(os.path.join(docs_path, "_SUCCESS"))
+        if not docs_ready:
+            if pages is None:
+                raise ValueError(
+                    "pages is None and no committed docs/ store exists — "
+                    "nothing to build from"
+                )
+            docs = docs_from_chunks(chunk_pages(pages, cfg, use_html=use_html), cfg)
+            if dedup == "exact":
+                # Web-corpus hygiene (task brief): drop exact-duplicate chunk
+                # texts before the fit so corpus stats and postings see each
+                # distinct text once. Canonical survivor = min doc_id per
+                # digest (curation/dedup.py semantics); one digest shuffle.
+                from splade_spark.curation.dedup import exact_dups
 
-            keep = (
-                exact_dups(docs)
-                .filter(F.col("doc_id") == F.col("canonical_id"))
-                .select("doc_id")
-            )
-            docs = docs.join(keep, "doc_id")
-        docs.write.mode("overwrite").parquet(docs_path)  # chunk store (checkpoint 0a)
-        _mark("chunk_write")
+                keep = (
+                    exact_dups(docs)
+                    .filter(F.col("doc_id") == F.col("canonical_id"))
+                    .select("doc_id")
+                )
+                docs = docs.join(keep, "doc_id")
+            docs.write.mode("overwrite").parquet(docs_path)  # chunk store (ckpt 0a)
+            _mark("chunk_write")
         docs = _read_spread(docs_path)
         compute_corpus_stats(docs).write.mode("overwrite").parquet(stats_path)
         _mark("stats")

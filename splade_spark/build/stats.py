@@ -31,10 +31,16 @@ from splade_spark.config import EngineConfig, DEFAULT
 
 
 def compute_corpus_stats(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, …, doclen) → single row (n_docs long, avgdl double)."""
+    """docs(doc_id, …, doclen) → single row (n_docs long, avgdl double).
+
+    avgdl is an exact integer sum divided once — order-independent, so two
+    builds over the same corpus in different partition layouts produce
+    bit-identical impacts (the streaming re-fit equivalence gate relies on
+    this; a float running avg would drift in the last ulp with task order).
+    """
     return docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg("doclen").cast("double").alias("avgdl"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
 
 

@@ -1,3 +1,3 @@
-from splade_spark.streaming.incremental import stream_build_segments
+from splade_spark.streaming.incremental import refit_compact, stream_build_segments
 
-__all__ = ["stream_build_segments"]
+__all__ = ["refit_compact", "stream_build_segments"]

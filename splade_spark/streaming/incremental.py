@@ -18,7 +18,13 @@ Design decisions:
   streamed segments encode against that frozen fit. That matches the
   reference's snapshot-fit semantics (BM25 re-fit per process at
   /root/reference/main.py:57-64) while keeping scores stable across
-  segments; a periodic re-fit + re-encode is a compaction policy decision.
+  segments. Each micro-batch ALSO persists its chunk docs (``docs_stream/
+  batch=K``), which makes the drift bounded-and-repairable: ``refit_compact``
+  periodically re-fits the dictionary over the FULL doc store and re-encodes
+  everything into a fresh index that is bit-identical to a from-scratch
+  batch build over the same corpus (tests/test_streaming.py). The new index
+  lands in its own directory — at production scale you flip a catalog
+  pointer (Iceberg-snapshot style), not rewrite a live petabyte tree.
 * Checkpointing: Spark's streaming checkpoint gives exactly-once foreachBatch
   delivery; our per-segment manifests add engine-level idempotence on top
   (a replayed batch overwrites its own segment directory, then re-commits
@@ -72,6 +78,13 @@ def stream_build_segments(
         dictionary = index.dictionary(spark)
 
         docs = docs_from_chunks(chunk_pages(batch_df, cfg, use_html=use_html), cfg)
+        # Persist this batch's chunk docs so a later refit_compact can re-fit
+        # over the FULL corpus. Partitioned by batch id + dynamic overwrite →
+        # a replayed micro-batch rewrites only its own partition (idempotent,
+        # same guarantee as the blocks write below).
+        docs.withColumn("batch", F.lit(int(batch_id))).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(os.path.join(index_dir, "docs_stream"))
         tf = term_freqs(docs, cfg)
         impacts = doc_impacts(tf, stats, cfg)
         long = postings_long(impacts, dictionary).withColumn(
@@ -111,3 +124,49 @@ def stream_build_segments(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def refit_compact(
+    spark: SparkSession,
+    index_dir: str,
+    new_index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    n_segments: int | None = None,
+):
+    """Periodic re-fit + re-encode compaction for a streamed index.
+
+    Reads the batch doc store (``docs/``) plus every streamed batch's docs
+    (``docs_stream/batch=K``), re-fits corpus_stats + dictionary over the
+    union, and rebuilds ALL segments against the fresh fit into
+    ``new_index_dir`` — a complete, self-contained index that is
+    bit-identical (block blobs included) to a from-scratch batch build over
+    the same corpus, because every stage downstream of the doc store is
+    deterministic and order-independent (exact-integer avgdl, per-(segment,
+    term) sorted packing, frozen codec). The caller flips its catalog
+    pointer to the new directory and can then delete the old tree — the
+    blue/green pattern that scales to petabyte indexes, rather than an
+    in-place rewrite.
+
+    Returns the new SegmentedIndex.
+    """
+    from splade_spark.build.segments import SegmentedIndex, build_segmented_index
+
+    old = SegmentedIndex(index_dir)
+    docs_parts = []
+    batch_docs_path = os.path.join(index_dir, "docs")
+    stream_docs_path = os.path.join(index_dir, "docs_stream")
+    if os.path.exists(os.path.join(batch_docs_path, "_SUCCESS")):
+        docs_parts.append(spark.read.parquet(batch_docs_path))
+    if os.path.isdir(stream_docs_path):
+        docs_parts.append(spark.read.parquet(stream_docs_path).drop("batch"))
+    if not docs_parts:
+        raise ValueError(f"no doc stores under {index_dir} to re-fit from")
+    docs = docs_parts[0]
+    for part in docs_parts[1:]:
+        docs = docs.unionByName(part)
+
+    os.makedirs(new_index_dir, exist_ok=True)
+    new_docs_path = os.path.join(new_index_dir, "docs")
+    docs.write.mode("overwrite").parquet(new_docs_path)
+    # the builder short-circuits its chunk phase on a committed docs store
+    return build_segmented_index(None, new_index_dir, cfg, n_segments=n_segments)

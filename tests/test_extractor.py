@@ -53,3 +53,60 @@ def test_web_pages_replicate(spark):
     pages = web_pages_from_documents(docs, replicate=3)
     assert pages.count() == 30
     assert pages.select("url").distinct().count() == 30
+
+
+class TestContentDispatch:
+    """S2/S3 content-type dispatch (reference ingest.py:71-79: .txt identity
+    read, .pdf via pdfminer; unsupported types skip)."""
+
+    def test_detect(self):
+        from splade_spark.text.extractor import detect_payload_type, wrap_html
+
+        assert detect_payload_type(b"%PDF-1.7 ...") == "pdf"
+        assert detect_payload_type(b"anything", url="https://x/a.PDF") == "pdf"
+        assert detect_payload_type(wrap_html("hi")) == "html"
+        assert detect_payload_type(b"<!DOCTYPE html><p>x</p>") == "html"
+        assert detect_payload_type(b"plain prose, no markup") == "text"
+        assert detect_payload_type(b"") == "empty"
+        assert detect_payload_type(None) == "empty"
+
+    def test_html_path_is_frozen_extractor(self):
+        from splade_spark.text.extractor import extract_any, wrap_html
+
+        text = "The quick brown fox; 42 tokens & <escapes>"
+        assert extract_any(wrap_html(text)) == text  # byte-identical invariant
+
+    def test_text_identity(self):
+        from splade_spark.text.extractor import extract_any
+
+        assert extract_any(b"plain prose, no markup") == "plain prose, no markup"
+        assert extract_any(None) == ""
+
+    def test_pdf_gate_without_pdfminer(self):
+        import pytest
+
+        from splade_spark.text.extractor import extract_any
+
+        with pytest.raises(RuntimeError, match="pdfminer"):
+            extract_any(b"%PDF-1.4 fake body")
+
+    def test_pdf_branch_calls_pdfminer_when_present(self, monkeypatch):
+        """Inject a fake pdfminer to prove the dispatch wiring is real."""
+        import sys
+        import types
+
+        fake_hl = types.ModuleType("pdfminer.high_level")
+
+        def extract_text(fh):
+            return "PDF TEXT " + str(len(fh.read()))
+
+        fake_hl.extract_text = extract_text
+        fake_pkg = types.ModuleType("pdfminer")
+        fake_pkg.high_level = fake_hl
+        monkeypatch.setitem(sys.modules, "pdfminer", fake_pkg)
+        monkeypatch.setitem(sys.modules, "pdfminer.high_level", fake_hl)
+
+        from splade_spark.text.extractor import extract_any
+
+        payload = b"%PDF-1.4 body bytes"
+        assert extract_any(payload) == f"PDF TEXT {len(payload)}"

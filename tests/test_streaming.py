@@ -78,3 +78,49 @@ def test_stream_segments_match_batch(spark, tmp_path):
     w = {(r.query_id, r.rank): (r.doc_id, round(r.score, 6)) for r in want.collect()}
     g = {(r.query_id, r.rank): (r.doc_id, round(r.score, 6)) for r in got.collect()}
     assert w == g
+
+
+def test_refit_compact_equals_fresh_batch_build(spark, tmp_path):
+    """VERDICT.md #7: initial batch build over corpus A, stream corpus B in,
+    refit_compact → the re-fit index must equal a from-scratch batch build
+    over A∪B: identical corpus stats, dictionary ids/dfs, and byte-identical
+    posting block blobs (deterministic codec + order-independent avgdl)."""
+    import os
+
+    from splade_spark.streaming import refit_compact, stream_build_segments
+
+    pages = web_pages_from_documents(read_documents(spark, SF_SMALL)).cache()
+    part_a = pages.filter(F.col("url").endswith("0") | F.col("url").endswith("1"))
+    part_b = pages.subtract(part_a).cache()
+
+    dir_live = str(tmp_path / "live")
+    build_segmented_index(part_a, dir_live, DEFAULT)
+
+    stream_src = str(tmp_path / "src")
+    part_b.coalesce(2).write.mode("overwrite").parquet(stream_src)
+    q = stream_build_segments(
+        spark.readStream.schema(pages.schema).option("maxFilesPerTrigger", 1)
+        .parquet(stream_src),
+        dir_live, DEFAULT, use_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(dir_live, "docs_stream"))
+
+    dir_refit = str(tmp_path / "refit")
+    refit_compact(spark, dir_live, dir_refit, DEFAULT)
+
+    dir_fresh = str(tmp_path / "fresh")
+    build_segmented_index(pages, dir_fresh, DEFAULT)
+
+    a, b = SegmentedIndex(dir_refit), SegmentedIndex(dir_fresh)
+    assert a.corpus_stats(spark).collect() == b.corpus_stats(spark).collect()
+    da = {r.term: (r.term_id, r.df, round(r.idf, 9)) for r in a.dictionary(spark).collect()}
+    db = {r.term: (r.term_id, r.df, round(r.idf, 9)) for r in b.dictionary(spark).collect()}
+    assert da == db
+    cols = ["segment_id", "term_id", "block_id", "n_docs", "first_doc_id",
+            "last_doc_id", "docs_bin", "impacts_bin"]
+    ba = sorted(map(tuple, a.blocks(spark).select(*cols).collect()))
+    bb = sorted(map(tuple, b.blocks(spark).select(*cols).collect()))
+    assert ba == bb  # byte-identical blobs
+    assert sorted(a.committed_segments()) == sorted(b.committed_segments())
