@@ -33,6 +33,16 @@ def _burn(_):
     return s
 
 
+def _read_busy_jiffies() -> tuple[int, int]:
+    """(busy, total) jiffies across all cpus from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:11]))
+    idle = vals[3] + vals[4]  # idle + iowait
+    total = sum(vals)
+    return total - idle, total
+
+
 def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: str,
               expand_text: int = 1) -> dict:
     out_dir = os.path.join(workdir, f"idx_{cpus}_{time.monotonic_ns()}")
@@ -52,12 +62,19 @@ def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: st
         "--stage-pages", stage,
         "--warm-workers",
     ]
+    b0, t0 = _read_busy_jiffies()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    b1, t1 = _read_busy_jiffies()
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-3000:])
         raise RuntimeError(f"build at local[{cpus}] failed")
     line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
+    # Mean busy cores THIS VM actually ran during the whole submission —
+    # local-mode pyspark runs Python UDF workers NEXT TO the N task threads,
+    # so "local[N]" occupies more than N cores; this measures how many.
+    n_cpu = os.cpu_count() or 1
+    rec["busy_cores"] = round((b1 - b0) / max(t1 - t0, 1) * n_cpu, 1)
     shutil.rmtree(out_dir, ignore_errors=True)
     return rec
 
@@ -111,13 +128,24 @@ def main() -> None:
 
     small, big = results[args.n], results[args.n * 4]
     eff = big["docs_per_sec"] / (4 * small["docs_per_sec"])
+    # occupancy-normalized: throughput per MEASURED busy core at each level —
+    # corrects the local-mode artifact where "local[N]" python UDF workers
+    # occupy extra cores beside the N task threads (a real N→4N executor
+    # scale-out provisions whole containers, so occupancy scales with N)
+    occ_eff = None
+    if small.get("busy_cores") and big.get("busy_cores"):
+        occ_ratio = big["busy_cores"] / small["busy_cores"]
+        occ_eff = round(eff * 4 / occ_ratio, 3) if occ_ratio else None
     summary = {
         "n": args.n,
         "4n": args.n * 4,
         "docs_per_sec_n": round(small["docs_per_sec"], 1),
         "docs_per_sec_4n": round(big["docs_per_sec"], 1),
+        "busy_cores_n": small.get("busy_cores"),
+        "busy_cores_4n": big.get("busy_cores"),
         "postings_n": small["n_postings"],
         "scaling_efficiency": round(eff, 3),
+        "occupancy_normalized_efficiency": occ_eff,
         "hw_effective_cores": eff_cores,
         "hw_ceiling_4x": hw_ceiling,
         "cpu_normalized_efficiency": round(eff / hw_ceiling, 3) if hw_ceiling else None,
@@ -134,8 +162,11 @@ def main() -> None:
         f"| {stamp} | {summary['input_pages']} pages ({args.sf_dir}, replicate={args.replicate}, "
         f"expand={args.expand_text}) "
         f"| local[{args.n}]: {summary['docs_per_sec_n']} docs/s "
+        f"(busy {summary['busy_cores_n']} cores) "
         f"| local[{args.n*4}]: {summary['docs_per_sec_4n']} docs/s "
+        f"(busy {summary['busy_cores_4n']} cores) "
         f"| **{summary['scaling_efficiency']}** "
+        f"| occ-norm {summary['occupancy_normalized_efficiency']} "
         f"| {summary['hw_ceiling_4x']} | {summary['cpu_normalized_efficiency']} |\n"
     )
     header = (

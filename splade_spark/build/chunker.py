@@ -90,7 +90,23 @@ def docs_from_chunks(chunks: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
     """
     norm = F.col("norm") if "norm" in chunks.columns else F.lit(None).cast("string")
     return (
-        chunks.withColumn("tokens", nostem_tokens(F.coalesce(norm, F.col("text"))))
-        .select("doc_id", "url", "chunk_idx", "text", "tokens")
+        chunks.withColumn("norm", norm)
+        .withColumn("tokens", nostem_tokens(F.coalesce(F.col("norm"), F.col("text"))))
+        .select("doc_id", "url", "chunk_idx", "text", "norm", "tokens")
         .withColumn("doclen", F.size("tokens"))
     )
+
+
+def attach_tokens(docs: DataFrame) -> DataFrame:
+    """Re-derive the token stream on a docs frame read back from storage.
+
+    The persisted chunk store carries (text, norm, doclen) but NOT the token
+    arrays — tokens are a deterministic Catalyst projection of text⊕norm, so
+    storing them would double the store for data one codegen stage re-derives
+    at memory speed (the shared-disk regime is where builds bottleneck
+    first; cf. BENCH/BASELINE.md).
+    """
+    if "tokens" in docs.columns:
+        return docs
+    norm = F.col("norm") if "norm" in docs.columns else F.lit(None).cast("string")
+    return docs.withColumn("tokens", nostem_tokens(F.coalesce(norm, F.col("text"))))

@@ -161,6 +161,96 @@ def pack_segment(
     return arranged.mapInPandas(_pack_stream, BLOCK_SCHEMA)
 
 
+def pack_segment_from_tf(
+    rows: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """rows(term_id, doc_id, tf, doclen[, segment_id]) → packed block rows,
+    where duplicate (term_id, doc_id) pairs are PRE-FOLD stemmed partials
+    (two surface forms of one stemmed term in one doc).
+
+    This is the one-exchange phase-1 path: the pack shuffle sorts by
+    (segment, term, doc), so duplicates land adjacent and are merged with a
+    vectorized ``reduceat`` before impacts are computed — the separate
+    (doc, stemmed)-keyed fold exchange that ``fold_stemmed`` pays is gone.
+    Impact math replicates the Catalyst expression op-for-op in float64
+    (same associativity), so blocks are byte-identical to the
+    doc_impacts→postings_long→pack_segment route
+    (tests/test_segments.py::test_pack_from_tf_byte_identical).
+    """
+    if "segment_id" not in rows.columns:
+        rows = rows.withColumn("segment_id", F.lit(0))
+    block_size = cfg.block_size
+    k1, b = float(cfg.k1), float(cfg.b)
+    avgdl = float(avgdl)
+    spark = rows.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 2
+    arranged = (
+        rows.select("segment_id", "term_id", "doc_id", "tf", "doclen")
+        .repartition(n_partitions, "segment_id", "term_id")
+        .sortWithinPartitions("segment_id", "term_id", "doc_id")
+    )
+
+    def _impacts(tf: np.ndarray, doclen: np.ndarray) -> np.ndarray:
+        tf_d = tf.astype(np.float64)
+        dl = doclen.astype(np.float64)
+        norm = tf_d + k1 * ((1.0 - b) + (b * dl) / avgdl)
+        return (tf_d * (k1 + 1.0)) / norm
+
+    def _pack_stream(batches):
+        carry = None
+        out_rows: list = []
+
+        def flush_group(seg, tid, doc_ids, tfs, doclens):
+            uniq, first = np.unique(doc_ids, return_index=True)
+            tf_m = np.add.reduceat(tfs, first) if uniq.size else tfs
+            w = _impacts(tf_m, doclens[first])
+            for blk, start in enumerate(range(0, len(uniq), block_size)):
+                d = uniq[start : start + block_size]
+                ww = w[start : start + block_size]
+                out_rows.append(
+                    (int(seg), int(tid), blk, len(d), float(ww.max()),
+                     int(d[0]), int(d[-1]), encode_doc_ids(d), encode_impacts(ww))
+                )
+
+        def flush_frame(pdf, starts_end=None):
+            seg = pdf["segment_id"].to_numpy()
+            tid = pdf["term_id"].to_numpy()
+            change = np.nonzero((seg[1:] != seg[:-1]) | (tid[1:] != tid[:-1]))[0] + 1
+            if starts_end is None:
+                starts = np.concatenate(([0], change))
+                tail = pdf.iloc[starts[-1]:]
+            else:
+                starts = np.concatenate(([0], change, [len(pdf)]))
+                tail = None
+            d_all = pdf["doc_id"].to_numpy()
+            tf_all = pdf["tf"].to_numpy()
+            dl_all = pdf["doclen"].to_numpy()
+            for s, e in zip(starts[:-1], starts[1:]):
+                flush_group(seg[s], tid[s], d_all[s:e], tf_all[s:e], dl_all[s:e])
+            return tail
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            carry = flush_frame(pdf)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+                out_rows = []
+        if carry is not None and len(carry):
+            flush_frame(carry, starts_end=True)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return arranged.mapInPandas(_pack_stream, BLOCK_SCHEMA)
+
+
 def unpack_blocks(blocks: DataFrame) -> DataFrame:
     """Inverse of pack_segment — block rows → long-form postings (for tests/merge)."""
     out_schema = StructType(
@@ -369,7 +459,7 @@ def build_segmented_index(
     ``fail_after_segment`` is a test hook: raise after committing that many
     segments (simulates a mid-build crash for tests/test_segments.py).
     """
-    from splade_spark.build.chunker import chunk_pages, docs_from_chunks
+    from splade_spark.build.chunker import attach_tokens, chunk_pages, docs_from_chunks
     from splade_spark.build.postings import doc_impacts, postings_long, term_freqs
     from splade_spark.build.stats import build_dictionary, compute_corpus_stats
 
@@ -413,6 +503,7 @@ def build_segmented_index(
 
     if not fit_done:
         docs_ready = os.path.exists(os.path.join(docs_path, "_SUCCESS"))
+        stats_done = os.path.exists(os.path.join(stats_path, "_SUCCESS"))
         if not docs_ready:
             if pages is None:
                 raise ValueError(
@@ -433,11 +524,39 @@ def build_segmented_index(
                     .select("doc_id")
                 )
                 docs = docs.join(keep, "doc_id")
-            docs.write.mode("overwrite").parquet(docs_path)  # chunk store (ckpt 0a)
-            _mark("chunk_write")
-        docs = _read_spread(docs_path)
-        compute_corpus_stats(docs).write.mode("overwrite").parquet(stats_path)
-        _mark("stats")
+            # chunk store (ckpt 0a): tokens are NOT persisted — they are a
+            # deterministic projection of (text, norm) re-attached on read.
+            # Corpus stats ride the SAME action as observed aggregates (one
+            # job instead of a separate full-docs pass); avgdl stays the
+            # exact integer sum / count (order-independent).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            docs = docs.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doclen").alias("sum_doclen"),
+            )
+            docs.drop("tokens").write.mode("overwrite").parquet(docs_path)
+            row = obs.get
+            n_docs_obs = int(row["n_docs"])
+            avgdl_obs = float(row["sum_doclen"]) / n_docs_obs if n_docs_obs else 0.0
+            spark.createDataFrame(
+                [(n_docs_obs, avgdl_obs)],
+                StructType(
+                    [
+                        StructField("n_docs", LongType()),
+                        StructField("avgdl", DoubleType()),
+                    ]
+                ),
+            ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+            stats_done = True
+            _mark("chunk_write+stats")
+        docs = attach_tokens(_read_spread(docs_path))
+        if not stats_done:
+            # resume landed between the docs and stats checkpoints
+            compute_corpus_stats(docs).write.mode("overwrite").parquet(stats_path)
+            _mark("stats")
         stats = spark.read.parquet(stats_path)
         from splade_spark.build.postings import surface_term_counts
 
@@ -447,7 +566,7 @@ def build_segmented_index(
         surface.unpersist()
         _mark("dictionary")
 
-    docs = _read_spread(docs_path)
+    docs = attach_tokens(_read_spread(docs_path))
     stats = index.corpus_stats(spark)
     dictionary = index.dictionary(spark).cache()
 
@@ -482,45 +601,70 @@ def build_segmented_index(
     # planning/codegen latency per job, a serial floor that dominated build
     # time at bench scale. Crash mid-write leaves no new manifests → the
     # whole pending set rebuilds; committed segments stay untouched.
-    from splade_spark.build.postings import surface_term_counts
+    #
+    # Phase 1 pays exactly ONE exchange: surface tf (shuffle-free) →
+    # broadcast stem-map + dictionary joins (no movement) → the pack
+    # repartition. Stemmed partial duplicates merge INSIDE the pack stream
+    # (pack_segment_from_tf), so the (doc, stemmed)-keyed fold exchange the
+    # generic term_freqs path pays never happens here.
+    from splade_spark.build.postings import stem_map_from_terms, surface_term_counts
 
-    surface = surface_term_counts(docs).cache()
-    tf = term_freqs(docs, cfg, surface=surface)
-    impacts = doc_impacts(tf, stats, cfg)
-    long = with_segment_id(postings_long(impacts, dictionary), n_segments)
-    pending_long = long.filter(F.col("segment_id").isin(pending)).cache()
+    surface = surface_term_counts(docs).cache()  # feeds stem map + probe side
+    rows = surface
+    if cfg.analyzer.stem:
+        smap = stem_map_from_terms(rows.select("term").distinct())
+        rows = rows.join(F.broadcast(smap), "term").select(
+            F.col("term_stemmed").alias("term"), "doc_id", "tf", "doclen"
+        )
+    long_tf = rows.join(
+        F.broadcast(dictionary.select("term", "term_id")), "term"
+    ).select("term_id", "doc_id", "tf", "doclen")
+    long = with_segment_id(long_tf, n_segments)
+    pending_long = long.filter(F.col("segment_id").isin(pending))
+    avgdl = float(stats.head().avgdl)
     blocks_root = os.path.join(index_dir, "blocks")
     t0 = time.monotonic()
-    pack_segment(pending_long, cfg).write.mode("overwrite").option(
+    pack_segment_from_tf(pending_long, avgdl, cfg).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("segment_id").parquet(blocks_root)
     elapsed = max(time.monotonic() - t0, 1e-9)
     _mark("pack_write")
-    seg_stats = {
-        int(r.segment_id): r
-        for r in pending_long.groupBy("segment_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_postings"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
+    # Manifest metrics WITHOUT another postings-sized pass: merged posting
+    # counts come from the just-written block metadata (Σ n_docs per block);
+    # per-segment doc counts from a doc_id-only column-pruned scan of the
+    # chunk store (hash assignment recomputed — deterministic).
+    n_post_by_seg = {
+        int(r.segment_id): int(r.n_postings)
+        for r in spark.read.parquet(blocks_root)
+        .filter(F.col("segment_id").isin(pending))
+        .groupBy("segment_id")
+        .agg(F.sum("n_docs").alias("n_postings"))
         .collect()
     }
-    pending_long.unpersist()
+    n_docs_by_seg = {
+        int(r.segment_id): int(r.n_docs)
+        for r in docs.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)).cast("int").alias("segment_id")
+        )
+        .filter(F.col("segment_id").isin(pending))
+        .groupBy("segment_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
     surface.unpersist()
     _mark("seg_stats")
 
-    total_postings = sum(int(r.n_postings) for r in seg_stats.values()) or 1
+    total_postings = sum(n_post_by_seg.values()) or 1
     done = 0
     for seg in pending:
-        r = seg_stats.get(seg)
         seg_path = os.path.join(blocks_root, f"segment_id={seg}")
         _commit_manifest(
             index,
             {
                 "segment_id": seg,
                 "status": "committed",
-                "n_docs": int(r.n_docs) if r else 0,
-                "n_postings": int(r.n_postings) if r else 0,
+                "n_docs": n_docs_by_seg.get(seg, 0),
+                "n_postings": n_post_by_seg.get(seg, 0),
                 "bytes": _dir_bytes(seg_path),
                 "built_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "lineage": json.dumps(

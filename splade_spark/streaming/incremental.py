@@ -64,9 +64,9 @@ def stream_build_segments(
     — the batch-incremental mode that needs no long-running driver.
     """
     from splade_spark.build.chunker import chunk_pages, docs_from_chunks
-    from splade_spark.build.postings import doc_impacts, postings_long, term_freqs
+    from splade_spark.build.postings import stem_map_from_terms, surface_term_counts
     from splade_spark.build.segments import (
-        SegmentedIndex, _commit_manifest, _dir_bytes, pack_segment,
+        SegmentedIndex, _commit_manifest, _dir_bytes, pack_segment_from_tf,
     )
 
     index = SegmentedIndex(index_dir)
@@ -79,28 +79,45 @@ def stream_build_segments(
 
         docs = docs_from_chunks(chunk_pages(batch_df, cfg, use_html=use_html), cfg)
         # Persist this batch's chunk docs so a later refit_compact can re-fit
-        # over the FULL corpus. Partitioned by batch id + dynamic overwrite →
-        # a replayed micro-batch rewrites only its own partition (idempotent,
-        # same guarantee as the blocks write below).
-        docs.withColumn("batch", F.lit(int(batch_id))).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("batch").parquet(os.path.join(index_dir, "docs_stream"))
-        tf = term_freqs(docs, cfg)
-        impacts = doc_impacts(tf, stats, cfg)
-        long = postings_long(impacts, dictionary).withColumn(
-            "segment_id", F.lit(seg_id).cast("int")
+        # over the FULL corpus. Tokens are dropped (derived projection, same
+        # convention as the batch chunk store). Partitioned by batch id +
+        # dynamic overwrite → a replayed micro-batch rewrites only its own
+        # partition (idempotent, same guarantee as the blocks write below).
+        docs.drop("tokens").withColumn("batch", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("batch").parquet(
+            os.path.join(index_dir, "docs_stream")
         )
+        # Same one-exchange shape as batch phase 1: surface tf (no shuffle) →
+        # batch-local stem map + frozen-dictionary broadcast joins → the pack
+        # repartition; stemmed partial duplicates merge inside the pack
+        # stream. The stem map is derived from THIS batch's surface terms so
+        # unseen surface forms still stem onto in-dictionary terms (frozen-
+        # fit OOV semantics unchanged).
+        surface = surface_term_counts(docs)
+        rows = surface
+        if cfg.analyzer.stem:
+            smap = stem_map_from_terms(rows.select("term").distinct())
+            rows = rows.join(F.broadcast(smap), "term").select(
+                F.col("term_stemmed").alias("term"), "doc_id", "tf", "doclen"
+            )
+        long = (
+            rows.join(F.broadcast(dictionary.select("term", "term_id")), "term")
+            .select("term_id", "doc_id", "tf", "doclen")
+            .withColumn("segment_id", F.lit(seg_id).cast("int"))
+        )
+        avgdl = float(stats.head().avgdl)
         blocks_root = os.path.join(index_dir, "blocks")
         seg_path = os.path.join(blocks_root, f"segment_id={seg_id}")
         t0 = time.monotonic()
         # same partitioned layout as batch builds; dynamic overwrite makes a
         # replayed micro-batch idempotent (rewrites only its own segment dir)
-        pack_segment(long, cfg).write.mode("overwrite").option(
+        pack_segment_from_tf(long, avgdl, cfg).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("segment_id").parquet(blocks_root)
         elapsed = max(time.monotonic() - t0, 1e-9)
         agg = long.agg(
-            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("term_id", "doc_id").alias("n_postings"),
             F.countDistinct("doc_id").alias("n_docs"),
         ).head()
         _commit_manifest(

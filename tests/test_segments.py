@@ -124,3 +124,50 @@ def test_segmented_build_and_resume(spark, frames, tmp_path):
     build_segmented_index(pages, idx_dir, DEFAULT, n_segments=3)
     for s, t in mtimes.items():
         assert os.path.getmtime(os.path.join(idx.manifest_dir, f"{s}.json")) == t
+
+
+def test_pack_from_tf_byte_identical(spark):
+    """The one-exchange phase-1 path (pack_segment_from_tf: merge stemmed
+    partials + compute impacts inside the pack stream) must produce blocks
+    byte-identical to the generic fold→impacts→pack route."""
+    import duckdb
+
+    from splade_spark.build.indexer import build_index_from_docs
+    from splade_spark.build.postings import (
+        doc_impacts, postings_long, stem_map_from_terms, surface_term_counts,
+        term_freqs,
+    )
+    from splade_spark.build.segments import pack_segment, pack_segment_from_tf
+    from splade_spark.config import DEFAULT
+
+    rows = duckdb.sql(
+        "select doc_id, text from read_parquet"
+        "('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    frames = build_index_from_docs(spark.createDataFrame(rows, ["doc_id", "text"]), DEFAULT)
+    avgdl = float(frames.corpus_stats.head().avgdl)
+
+    # reference route: folded tf → impacts → postings_long → pack
+    ref_blocks = pack_segment(
+        with_segment_id(frames.postings, 3), DEFAULT
+    ).collect()
+
+    # one-exchange route: surface partials → stem/dict broadcast joins → pack
+    surface = surface_term_counts(frames.docs)
+    smap = stem_map_from_terms(surface.select("term").distinct())
+    partials = (
+        surface.join(F.broadcast(smap), "term")
+        .select(F.col("term_stemmed").alias("term"), "doc_id", "tf", "doclen")
+        .join(F.broadcast(frames.dictionary.select("term", "term_id")), "term")
+        .select("term_id", "doc_id", "tf", "doclen")
+    )
+    got_blocks = pack_segment_from_tf(
+        with_segment_id(partials, 3), avgdl, DEFAULT
+    ).collect()
+
+    key = lambda r: (r.segment_id, r.term_id, r.block_id)
+    ref = {key(r): (r.n_docs, r.max_impact, r.first_doc_id, r.last_doc_id,
+                    bytes(r.docs_bin), bytes(r.impacts_bin)) for r in ref_blocks}
+    got = {key(r): (r.n_docs, r.max_impact, r.first_doc_id, r.last_doc_id,
+                    bytes(r.docs_bin), bytes(r.impacts_bin)) for r in got_blocks}
+    assert ref == got and len(ref) > 50
