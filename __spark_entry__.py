@@ -325,6 +325,18 @@ def _q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    from splade_spark.dense import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_cosine_topk(emb, qs, k=10, n_cells=16, n_probe=4, dim=64).select(
+        F.col("query_id").cast("long"), "vec_id", F.col("rank").cast("long").alias("rank"), _e6("score")
+    )
+
+
 def _q_filtered_scan(spark, sf_dir):
     # P1: the reference's corpus rebuild scan — predicate + projection
     # (collection.query(expr="pk != ''", output_fields=["text"]), main.py:46-53)
@@ -368,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
     }
 
 
@@ -717,6 +730,69 @@ SELECT query_id::BIGINT AS query_id, vec_id, rank::BIGINT AS rank,
 FROM r WHERE rank <= {k}"""
 
 
+def _ivf_centroids_values_sql(dim: int, n_cells: int = 16) -> str:
+    """Deterministic IVF centroids (dense/ann.py _centroids_lit) inlined as a
+    VALUES relation (cell, c DOUBLE[]) at full float precision."""
+    import numpy as np
+
+    rng = np.random.default_rng(42 + 1000)
+    cents = rng.standard_normal((n_cells, dim))
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in cents[i])}]::DOUBLE[])"
+        for i in range(n_cells)
+    )
+    return f"(VALUES {rows}) AS cents(cell, c)"
+
+
+def _ivf_ann_sql(dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 4) -> str:
+    """IVF ANN replay (dense/ann.py ivf_cosine_topk): nearest-centroid
+    assignment (argmax dot over normalized vectors, lowest cell on ties),
+    n_probe closest cells per query, exact cosine inside probed cells."""
+    return f"""WITH cents AS (SELECT * FROM {_ivf_centroids_values_sql(dim, n_cells)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+eassign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+  FROM (
+    SELECT e.vec_id, c.cell,
+           list_dot_product(c.c, e.v)
+             / greatest(sqrt(list_dot_product(e.v, e.v)), 1e-300) AS s
+    FROM e CROSS JOIN cents c) u
+),
+ecell AS (SELECT vec_id, cell FROM eassign WHERE rn = 1),
+qassign AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cell ASC) AS rn
+  FROM (
+    SELECT q.query_id, c.cell,
+           list_dot_product(c.c, q.qv)
+             / greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-300) AS s
+    FROM q CROSS JOIN cents c) u
+),
+qprobe AS (SELECT query_id, cell FROM qassign WHERE rn <= {n_probe}),
+cand AS (
+  SELECT qp.query_id, ec.vec_id
+  FROM ecell ec JOIN qprobe qp ON ec.cell = qp.cell
+  WHERE ec.vec_id != qp.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, vec_id, rank::BIGINT AS rank,
+       CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM r WHERE rank <= {k}"""
+
+
 def _langid_sql() -> str:
     from splade_spark.curation.textstats import LANG_PROFILES
 
@@ -966,4 +1042,5 @@ FROM r WHERE rank <= 10""",
         "minhash_near_dups": _minhash_near_dups_sql(),
         "fingerprints": _fingerprints_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
+        "ivf_ann_topk": _ivf_ann_sql(),
     }

@@ -4,6 +4,8 @@ from splade_spark.dense.hash_embed import (
 from splade_spark.dense.ann import (
     brute_cosine_topk,
     embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_cosine_topk,
     lsh_cosine_topk,
     lsh_near_dup_pairs,
 )
@@ -13,6 +15,8 @@ __all__ = [
     "hash_embed_queries",
     "cosine_topk_sparse",
     "brute_cosine_topk",
+    "ivf_assign",
+    "ivf_cosine_topk",
     "lsh_cosine_topk",
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",

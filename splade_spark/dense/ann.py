@@ -179,6 +179,101 @@ def lsh_near_dup_pairs(
     )
 
 
+def _centroids_lit(dim: int, n_cells: int):
+    """Deterministic initial centroids: unit-normalized pseudo-random
+    directions from the shared seed — same construction as the LSH planes."""
+    rng = np.random.default_rng(ANN_SEED + 1000)
+    c = rng.standard_normal((n_cells, dim))
+    return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in c])
+
+
+def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """→ (vec_id, cell): nearest-centroid (max dot on normalized vectors)
+    assignment against the DETERMINISTIC centroid set.
+
+    One fixed Lloyd refinement step is deliberately NOT run distributedly
+    here: the assignment is what partitions the corpus, and freezing the
+    centroids keeps the whole IVF layout (and the DuckDB replay) a pure
+    function of the seed — same determinism contract as the LSH planes.
+    Ties break to the LOWEST cell id.
+    """
+    cents = _centroids_lit(dim, n_cells)
+    v = F.col(vec_col).cast("array<double>")
+    # score each centroid, pick argmax with lowest-id tie-break
+    scored = F.transform(
+        cents,
+        lambda c: _dot(c, v) / F.greatest(_norm(v), F.lit(1e-300)),
+    )
+    best = F.array_max(scored)
+    cell = F.array_position(scored, best) - 1
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), cell.cast("int").alias("cell")
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus bucketed by nearest centroid; each
+    query probes its ``n_probe`` closest cells and scores exact cosine only
+    inside them — the k-means counterpart of the LSH path (task brief: "an
+    IVF or LSH-bucketed variant as the scale path").
+
+    At 10^12 rows the cell assignment is one narrow pass, cells are the
+    partitioning key, and per-query cost drops to ~n_probe/n_cells of the
+    corpus. Returned scores are exact cosines; approximation is confined to
+    candidate generation, exactly like lsh_cosine_topk.
+    """
+    dim = _require_dim(dim)
+    cents = _centroids_lit(dim, n_cells)
+    e_cells = ivf_assign(embeddings, dim, n_cells)
+    e_base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    q_base = queries.select("query_id", F.col("qvec").cast("array<double>").alias("qvec"))
+
+    qv = F.col("qvec")
+    qscored = F.transform(cents, lambda c: _dot(c, qv) / F.greatest(_norm(qv), F.lit(1e-300)))
+    # top-n_probe cells per query: rank centroid scores (desc, cell asc)
+    q_cells = (
+        q_base.select(
+            "query_id",
+            F.posexplode(qscored).alias("cell", "cscore"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cscore").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "cell")
+    )
+    candidates = (
+        e_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        candidates.join(e_base, "vec_id")
+        .join(F.broadcast(q_base), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias(
+                "score"
+            ),
+        )
+    )
+    return _ranked(scored, k)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

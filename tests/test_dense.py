@@ -160,3 +160,43 @@ def test_embedding_near_dup_pairs(spark, embeddings):
     for k, v in lsh.items():
         assert exact[k] == v
     assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
+
+
+def test_ivf_recall_and_exact_scores(spark, embeddings):
+    """IVF bucketed ANN: reasonable recall vs brute force at n_probe=4/16,
+    exact cosine scores for every returned pair, full recall at
+    n_probe=n_cells (probing every cell = exhaustive search)."""
+    from splade_spark.dense import brute_cosine_topk, ivf_cosine_topk
+
+    queries = _queries_from_corpus(embeddings, n=10)
+    brute = defaultdict(set)
+    b_scores = {}
+    for r in brute_cosine_topk(embeddings, queries, k=2000).collect():
+        b_scores[(r.query_id, r.vec_id)] = round(r.score, 6)
+        if r.rank <= 10:
+            brute[r.query_id].add(r.vec_id)
+
+    ivf_res = ivf_cosine_topk(embeddings, queries, k=10, n_cells=16, n_probe=4, dim=64)
+    got = defaultdict(set)
+    for r in ivf_res.collect():
+        got[r.query_id].add(r.vec_id)
+        assert b_scores[(r.query_id, r.vec_id)] == round(r.score, 6)
+    recalls = [len(brute[q] & got[q]) / max(1, len(brute[q])) for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    # probing every cell ≡ brute force (modulo identical rank tie-break)
+    full = ivf_cosine_topk(embeddings, queries, k=10, n_cells=16, n_probe=16, dim=64)
+    full_hits = {(r.query_id, r.vec_id, r.rank) for r in full.collect()}
+    brute_hits = {(r.query_id, r.vec_id, r.rank)
+                  for r in brute_cosine_topk(embeddings, queries, k=10).collect()}
+    assert full_hits == brute_hits
+
+
+def test_ivf_assign_deterministic_partitioning(spark, embeddings):
+    from splade_spark.dense.ann import ivf_assign
+
+    a = {r.vec_id: r.cell for r in ivf_assign(embeddings, dim=64, n_cells=16).collect()}
+    b = {r.vec_id: r.cell for r in ivf_assign(embeddings, dim=64, n_cells=16).collect()}
+    assert a == b and len(a) == embeddings.count()
+    assert all(0 <= c < 16 for c in a.values())
+    assert len(set(a.values())) > 4  # corpus actually spreads over cells
