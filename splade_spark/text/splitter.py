@@ -25,10 +25,11 @@ def _join(parts, sep: str) -> str | None:
     return text if text else None
 
 
-def _merge_splits(splits: list[str], sep: str, chunk_size: int, chunk_overlap: int) -> list[str]:
-    # deque: the overlap slide pops from the FRONT once per consumed part —
-    # list.pop(0) would make merging O(parts²) per chunk (measured ~0.5 ms
-    # per 8 KB page, the largest Python cost in the build hot path)
+def _merge_splits_ref(splits: list[str], sep: str, chunk_size: int, chunk_overlap: int) -> list[str]:
+    """Reference implementation of the greedy merge — the executable spec.
+
+    Kept verbatim for the randomized equivalence test against the fast
+    window-arithmetic version below (tests/test_splitter.py)."""
     from collections import deque
 
     docs: list[str] = []
@@ -56,6 +57,55 @@ def _merge_splits(splits: list[str], sep: str, chunk_size: int, chunk_overlap: i
     return docs
 
 
+def _merge_splits(splits: list[str], sep: str, chunk_size: int, chunk_overlap: int) -> list[str]:
+    """Greedy merge, window-arithmetic formulation — O(parts + chunks·log).
+
+    Semantics identical to ``_merge_splits_ref`` (randomized + golden
+    tested); the per-part interpreter loop there was the largest Python cost
+    in the chunking hot path. With prefix sums P and A[i] = P[i] + sep_len·i,
+    the window [i, k) total is (P[k] + s·(k−1)) − A[i], so each overflow
+    event emits one chunk and advances i with two bisects instead of a
+    pop-per-part slide.
+    """
+    from bisect import bisect_left, bisect_right
+    from itertools import accumulate
+
+    n = len(splits)
+    if n == 0:
+        return []
+    s = len(sep)
+    # A[j] = Σ len(splits[:j]) + s·j, strictly increasing (parts non-empty):
+    # window total tot(i, k) = A[k] − A[i] − s for k > i. Overflow on arrival
+    # k ⟺ tot(i, k+1) > chunk_size ⟺ A[k+1] > chunk_size + s + A[i], so the
+    # scan JUMPS from overflow event to overflow event with bisects — no
+    # per-part Python loop (events ≈ chunks ≪ parts).
+    A = [0] + list(accumulate(ln + s for ln in map(len, splits)))
+    docs: list[str] = []
+    i = 0
+    pos = 1
+    while True:
+        j = bisect_right(A, chunk_size + s + A[i], pos)
+        if j > n:
+            break
+        k = j - 1
+        if k > i:  # ref semantics: an empty window never emits or slides
+            doc = sep.join(splits[i:k]).strip()
+            if doc:
+                docs.append(doc)
+            # slide: first i' with tot(i',k) ≤ overlap AND
+            # tot(i',k) + len_k + s ≤ chunk_size (tot monotonically ↓ in i')
+            base = A[k] - s
+            lk = A[k + 1] - A[k] - s
+            t1 = base - chunk_overlap
+            t2 = base - (chunk_size - lk - s)
+            i = min(max(bisect_left(A, t1, i, k), bisect_left(A, t2, i, k)), k)
+        pos = j + 1
+    doc = sep.join(splits[i:n]).strip()
+    if doc:
+        docs.append(doc)
+    return docs
+
+
 def _split_recursive(text: str, separators: tuple[str, ...], chunk_size: int, chunk_overlap: int) -> list[str]:
     # pick the first separator present in text (last resort: "")
     sep = separators[-1]
@@ -70,6 +120,11 @@ def _split_recursive(text: str, separators: tuple[str, ...], chunk_size: int, ch
             break
 
     splits = list(text) if sep == "" else [s for s in text.split(sep) if s != ""]
+
+    # common case (C-speed check): every part already fits → merge directly,
+    # skipping the per-part classification loop
+    if not splits or max(map(len, splits)) < chunk_size:
+        return _merge_splits(splits, sep, chunk_size, chunk_overlap)
 
     final: list[str] = []
     good: list[str] = []

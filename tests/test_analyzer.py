@@ -175,3 +175,46 @@ class TestCatalystParity:
             for term, c in Counter(toks).items():
                 exp[(i, term)] = (c, len(toks))
         assert got == exp
+
+
+def test_surface_term_counts_property(spark):
+    """Hypothesis-style fuzz (deterministic corpus sweep): the shuffle-free
+    run-length surface tf must equal collections.Counter over the Catalyst
+    tokens for adversarial shapes — empty docs, single tokens, all-dup docs,
+    high-cardinality docs, unicode."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from splade_spark.build.postings import surface_term_counts
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)] + ["the", "and"]  # incl. stopwords
+    docs = []
+    for i in range(120):
+        shape = i % 6
+        if shape == 0:
+            toks = []
+        elif shape == 1:
+            toks = [rng.choice(vocab)]
+        elif shape == 2:
+            toks = [rng.choice(vocab[:3])] * rng.randint(2, 50)
+        elif shape == 3:
+            toks = [rng.choice(vocab) for _ in range(rng.randint(2, 200))]
+        elif shape == 4:
+            toks = [f"u{j}" for j in range(rng.randint(1, 64))]  # all distinct
+        else:
+            toks = sorted(rng.choice(vocab) for _ in range(rng.randint(1, 99)))
+        docs.append((i, toks))
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"]).withColumn(
+        "doclen", F.size("tokens")
+    )
+    got = {}
+    for r in surface_term_counts(df).collect():
+        got[(r.doc_id, r.term)] = (r.tf, r.doclen)
+    exp = {}
+    for i, toks in docs:
+        for t, c in Counter(toks).items():
+            exp[(i, t)] = (c, len(toks))
+    assert got == exp
