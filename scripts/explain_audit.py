@@ -100,8 +100,8 @@ def main() -> None:
             },
         )
 
-        # 3) tf (build hot path): with analyzer-emitted count maps this must
-        # be a pure map explode — NO shuffle, NO aggregate (the engine's
+        # 3) tf (build hot path): the Catalyst run-length surface encode must
+        # stay a narrow Generate — NO shuffle, NO aggregate (the engine's
         # largest shuffle was designed out; its absence is the property)
         tf_plan = _plan(term_freqs(frames.docs))
         check(

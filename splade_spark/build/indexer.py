@@ -38,9 +38,17 @@ class IndexFrames:
 
 
 def _assemble(docs: DataFrame, cfg: EngineConfig, salted: bool) -> IndexFrames:
+    from splade_spark.build.chunker import attach_tokens
     from splade_spark.build.postings import surface_term_counts
 
-    docs = docs.cache()
+    # Cache the docs SLIM (no token arrays): tokens are a deterministic
+    # Catalyst projection of (text, norm), re-attached lazily — the cache
+    # fill then stores ~half the bytes and skips array construction, and the
+    # single tokenize pass happens inside the surface-tf job instead.
+    if "tokens" in docs.columns:
+        docs = attach_tokens(docs.drop("tokens").cache())
+    else:
+        docs = docs.cache()
     stats = compute_corpus_stats(docs).cache()
     # Cache the SURFACE tf (shuffle-free run-length over the Catalyst token
     # stream): it feeds the stem map (distinct over pre-deduped (doc, term)
@@ -80,15 +88,17 @@ def build_index_from_docs(
     from splade_spark.text.catalyst import nostem_tokens
     from splade_spark.text.udfs import normalized_or_null_udf
 
-    norm = normalized_or_null_udf()(F.col("text"))
     docs = (
         doc_rows.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.lit(None).cast("string").alias("url"),
             F.lit(0).alias("chunk_idx"),
             "text",
-            nostem_tokens(F.coalesce(norm, F.col("text"))).alias("tokens"),
+            # norm is kept as a COLUMN so the slim-cache path in _assemble
+            # re-attaches tokens with identical NFC semantics
+            normalized_or_null_udf()(F.col("text")).alias("norm"),
         )
+        .withColumn("tokens", nostem_tokens(F.coalesce(F.col("norm"), F.col("text"))))
         .withColumn("doclen", F.size("tokens"))
     )
     return _assemble(docs, cfg, salted)
