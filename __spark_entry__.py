@@ -325,6 +325,16 @@ def _q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    from splade_spark.curation import minhash_near_dup_pairs, near_dup_clusters
+
+    frames = _frames(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(frames.docs, threshold=0.2)
+    return near_dup_clusters(frames.docs, pairs).select(
+        "doc_id", F.col("cluster_id").cast("long")
+    )
+
+
 def _q_ivf_ann_topk(spark, sf_dir):
     from splade_spark.dense import ivf_cosine_topk
 
@@ -381,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "near_dup_clusters": _q_near_dup_clusters,
     }
 
 
@@ -621,6 +632,59 @@ verified AS (
 )
 SELECT doc_a, doc_b, CAST(round(jaccard * 1e6) AS BIGINT) AS jaccard_e6
 FROM verified WHERE jaccard >= {threshold}"""
+
+
+def _near_dup_clusters_sql(threshold: float = 0.2, n_hashes: int = 64, n_bands: int = 16) -> str:
+    """Connected components over the MinHash near-dup pairs: every doc labeled
+    with the min doc_id reachable through the near-dup graph (the engine's
+    converged min-label propagation fixpoint), via a recursive CTE."""
+    rpb = n_hashes // n_bands
+    return f"""WITH RECURSIVE {_base_ctes()}{_shingle_ctes()},
+mh AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(shingle||'#101'),1,8))::UBIGINT::BIGINT % 2147483647 AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, i::BIGINT AS i, min((a * h + b) % 2147483647)::BIGINT AS sig
+  FROM mh CROSS JOIN {_minhash_seeds_sql(n_hashes)}
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // {rpb})::INT AS band,
+         string_agg(i || ':' || sig, ',' ORDER BY i) AS bsig
+  FROM sigs GROUP BY doc_id, (i // {rpb})::INT
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE i.inter / (sa.n_shingles + sb.n_shingles - i.inter)::DOUBLE >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS doc, r.label FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc AS doc_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY doc"""
 
 
 def _fingerprints_sql(k: int = 8, w: int = 4) -> str:
@@ -1043,4 +1107,5 @@ FROM r WHERE rank <= 10""",
         "fingerprints": _fingerprints_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
+        "near_dup_clusters": _near_dup_clusters_sql(),
     }

@@ -10,6 +10,7 @@ from splade_spark.curation.dedup import (
     exact_dups,
     minhash_lsh_candidates,
     minhash_near_dup_pairs,
+    near_dup_clusters,
     minhash_signatures,
     ngram_jaccard_pairs,
     shingle_tokens,
@@ -35,6 +36,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_dup_pairs",
+    "near_dup_clusters",
     "simhash64",
     "simhash_near_pairs",
     "token_stats",

@@ -170,6 +170,64 @@ def minhash_near_dup_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """docs(doc_id, …) + near-dup pairs(doc_a, doc_b) → (doc_id, cluster_id).
+
+    Connected components with cluster_id = min doc_id in the component — the
+    canonical-survivor assignment a dedup pipeline keeps one doc per cluster
+    from. Min-label propagation over the (symmetrized) edge set, iterated to
+    a CHECKED fixpoint; convergence needs at most the component diameter
+    rounds, and near-dup clusters are diameter-tiny by construction (near
+    dups of a doc are overwhelmingly near dups of each other). For
+    adversarial long-chain graphs at extreme scale, swap the propagation
+    step for alternating large-star/small-star (Kiveris et al.) — same
+    fixpoint, O(log n) rounds; the iteration scaffold here is unchanged.
+    Each round is one combiner-friendly min aggregation.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+    edges.unpersist()
+    return labels
+
+
 def simhash64(docs: DataFrame, tokens_col: str = "tokens", bits: int = 60) -> DataFrame:
     """docs(doc_id, tokens) → (doc_id, simhash long).
 

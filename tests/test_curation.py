@@ -240,3 +240,26 @@ def test_decode_image_native_and_resize(spark):
     if not pil_present:
         with pytest.raises(Exception, match="Pillow"):
             decode_image(bad).collect()
+
+
+def test_near_dup_clusters_components(spark):
+    """Connected components: chain, triangle, singleton — cluster_id is the
+    min doc_id of each component and propagation reaches the chain end."""
+    from splade_spark.curation import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], ["doc_id"])
+    # components: {1,2,3,4} as a chain, {5,6,7} as a triangle, {8}, {9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        long_chain = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], ["doc_a", "doc_b"])
+        near_dup_clusters(
+            spark.createDataFrame([(i,) for i in range(1, 10)], ["doc_id"]),
+            long_chain, max_iter=2,
+        )
