@@ -43,7 +43,12 @@ def get_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # small-but-compute-dense staged tables: split the scan fine enough
+        # that UDF stages parallelize WITHOUT a repartition shuffle of the
+        # full payload (the round-2 bench paid a 130 MB exchange just to
+        # re-spread the pages scan)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .getOrCreate()
     )
 
@@ -72,9 +77,9 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str, expand: int 
         web_pages_from_documents(
             read_documents(spark, sf_dir), replicate=replicate, expand_text=expand
         ).repartition(cpus * 2).write.mode("overwrite").parquet(pages_path)
-        # re-spread: the scan of a small staged table collapses to 1-2 byte-
-        # based partitions, which would serialize the UDF-heavy build stage
-        pages = spark.read.parquet(pages_path).repartition(cpus * 2)
+        # the 4m maxPartitionBytes split gives the UDF-heavy build stage its
+        # parallelism straight from the scan — no re-spread shuffle
+        pages = spark.read.parquet(pages_path)
         n_pages = pages.count()
 
         # Warm the Python UDF workers (steady-state measurement): one dummy
@@ -99,7 +104,7 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str, expand: int 
         frames.dictionary.cache().count()
         timings["index_build"] = time.monotonic() - t0
 
-        postings = spark.read.parquet(postings_path).repartition(cpus * 2).cache()
+        postings = spark.read.parquet(postings_path).cache()
         n_postings = postings.count()
         n_docs = frames.docs.count()
         meta["n_pages"] = n_pages
@@ -191,6 +196,33 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str, expand: int 
             lat_local.sort()
             timings["query_local_p95"] = lat_local[max(0, int(len(lat_local) * 0.95) - 1)]
             meta["local_qps"] = len(qtexts) / max(sum(lat_local), 1e-9)
+
+        # -- Zipf/Heaps vocabulary build (meta only) ------------------------
+        # High-cardinality fixture (VERDICT r2 #4): per-(word,url) hash tails
+        # grow the vocabulary ~1000× over the frozen synthetic one, so the
+        # per-distinct-term stages (stem map, dictionary) do real-web-scale
+        # work. Reported in meta, NOT in the timed `queries` dict — the
+        # headline total stays comparable round-over-round.
+        zipf_buckets = int(os.environ.get("SPARK_GRAFT_ZIPF_BUCKETS", "512"))
+        if zipf_buckets > 0:
+            spark.catalog.clearCache()  # fresh storage for the second build
+            zipf_path = os.path.join(workdir, f"zipf_pages_{cpus}")
+            web_pages_from_documents(
+                read_documents(spark, sf_dir), replicate=replicate,
+                expand_text=expand, vocab_hash_buckets=zipf_buckets,
+            ).repartition(cpus * 2).write.mode("overwrite").parquet(zipf_path)
+            zpages = spark.read.parquet(zipf_path)
+            t0 = time.monotonic()
+            zframes = build_index_frames(zpages, DEFAULT, use_html=True)
+            zframes.postings.write.mode("overwrite").parquet(
+                os.path.join(workdir, f"zipf_postings_{cpus}")
+            )
+            zsec = time.monotonic() - t0
+            meta["zipf_build_sec"] = round(zsec, 3)
+            meta["zipf_vocab"] = zframes.dictionary.count()
+            meta["zipf_docs_per_sec"] = round(n_pages / zsec, 1)
+            spark.catalog.clearCache()
+            postings.cache().count()  # restore for the p95 phase below
 
         # -- per-query p95 (naive, 10 singleton jobs) ----------------------
         lat = []

@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--expand-text", type=int, default=1,
                     help="repeat each text k times (realistic KB-scale pages)")
+    ap.add_argument("--vocab-buckets", type=int, default=0,
+                    help="salt words with per-(word,url) hash tails so the "
+                         "vocabulary grows with corpus size (Zipf/Heaps "
+                         "fixture — VERDICT r2 #4)")
     ap.add_argument("--from-docs", action="store_true",
                     help="index documents.parquet rows directly (skip html wrap)")
     ap.add_argument("--stage-pages", default=None,
@@ -56,6 +60,7 @@ def main(argv: list[str] | None = None) -> None:
         read_documents(spark, args.input),
         replicate=args.replicate,
         expand_text=args.expand_text,
+        vocab_hash_buckets=args.vocab_buckets,
     )
     if args.stage_pages:
         cores = spark.sparkContext.defaultParallelism

@@ -44,15 +44,26 @@ def _read_busy_jiffies() -> tuple[int, int]:
 
 
 def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: str,
-              expand_text: int = 1) -> dict:
+              expand_text: int = 1, cpu_cap: bool = True,
+              vocab_buckets: int = 0) -> dict:
     out_dir = os.path.join(workdir, f"idx_{cpus}_{time.monotonic_ns()}")
     stage = os.path.join(workdir, f"pages_{cpus}")
-    cmd = [
+    # CPU-cap each level to its core budget (taskset), the way YARN/K8s
+    # cgroup-cap a real executor's vcores: WITHOUT the cap, "local[2]"
+    # measurably occupies ~2.5 cores (Python UDF workers + JVM service
+    # threads run beside the 2 task threads), inflating the small leg's
+    # throughput and depressing raw N→4N efficiency — the co-residency
+    # artifact round 2 could only correct after the fact via occ-norm.
+    prefix = ["taskset", "-c", f"0-{cpus - 1}"] if cpu_cap else []
+    cmd = prefix + [
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--conf", f"spark.sql.shuffle.partitions={cpus}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.driver.memory=12g",
+        # shuffle/spill files follow the workdir (per-node disk model — the
+        # default /tmp sits on the one shared virtual disk)
+        "--conf", f"spark.local.dir={os.path.join(workdir, 'sparktmp_' + str(cpus))}",
         "--py-files", zip_path,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "build_index.py"),
         "--input", sf_dir,
@@ -62,6 +73,8 @@ def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: st
         "--stage-pages", stage,
         "--warm-workers",
     ]
+    if vocab_buckets:
+        cmd += ["--vocab-buckets", str(vocab_buckets)]
     b0, t0 = _read_busy_jiffies()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     b1, t1 = _read_busy_jiffies()
@@ -87,6 +100,17 @@ def main() -> None:
                     help="text repetition factor (KB-scale pages)")
     ap.add_argument("--n", type=int, default=8, help="small parallelism; big = 4n")
     ap.add_argument("--runs", type=int, default=1, help="repeats per level (best kept)")
+    ap.add_argument("--vocab-buckets", type=int, default=0,
+                    help="hash-salted vocabulary growth fixture (VERDICT r2 #4)")
+    ap.add_argument("--no-cpu-cap", action="store_true",
+                    help="disable the per-level taskset core cap (cap on = "
+                         "container-capped executor model)")
+    ap.add_argument("--workdir", default=None,
+                    help="where staged input + index trees live; default "
+                         "/dev/shm when present (models per-node disks that "
+                         "scale with executor count — one shared virtual disk "
+                         "is a single-box artifact a real N→4N scale-out "
+                         "multiplies), else $TMPDIR")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -109,14 +133,17 @@ def main() -> None:
     hw_ceiling = round(eff_cores[args.n * 4] / (4 * eff_cores[args.n]), 3)
     print(f"effective cores: {eff_cores}; hardware ceiling for 4x: {hw_ceiling}", flush=True)
 
-    workdir = tempfile.mkdtemp(prefix="scaling_")
+    base = args.workdir or ("/dev/shm" if os.path.isdir("/dev/shm") else None)
+    workdir = tempfile.mkdtemp(prefix="scaling_", dir=base)
     try:
         # interleave levels (shared-host noise hits both levels alike)
         samples: dict[int, list] = {args.n: [], args.n * 4: []}
         for _ in range(args.runs):
             for cpus in (args.n, args.n * 4):
                 rec = run_build(cpus, args.sf_dir, args.replicate, workdir, zip_path,
-                                expand_text=args.expand_text)
+                                expand_text=args.expand_text,
+                                cpu_cap=not args.no_cpu_cap,
+                                vocab_buckets=args.vocab_buckets)
                 samples[cpus].append(rec)
                 print(f"local[{cpus}]: {json.dumps(rec)}", flush=True)
         results = {}
@@ -160,7 +187,10 @@ def main() -> None:
     stamp = time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime())
     row = (
         f"| {stamp} | {summary['input_pages']} pages ({args.sf_dir}, replicate={args.replicate}, "
-        f"expand={args.expand_text}) "
+        f"expand={args.expand_text}"
+        + (f", vocab_buckets={args.vocab_buckets}" if args.vocab_buckets else "")
+        + (", cpu-capped" if not args.no_cpu_cap else "")
+        + ") "
         f"| local[{args.n}]: {summary['docs_per_sec_n']} docs/s "
         f"(busy {summary['busy_cores_n']} cores) "
         f"| local[{args.n*4}]: {summary['docs_per_sec_4n']} docs/s "

@@ -97,16 +97,34 @@ def docs_from_chunks(chunks: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
     )
 
 
-def attach_tokens(docs: DataFrame) -> DataFrame:
+def attach_tokens(docs: DataFrame, allow_missing_norm: bool = False) -> DataFrame:
     """Re-derive the token stream on a docs frame read back from storage.
 
-    The persisted chunk store carries (text, norm, doclen) but NOT the token
-    arrays — tokens are a deterministic Catalyst projection of text⊕norm, so
-    storing them would double the store for data one codegen stage re-derives
-    at memory speed (the shared-disk regime is where builds bottleneck
-    first; cf. BENCH/BASELINE.md).
+    The persisted chunk store carries (text, norm) but NOT the token arrays
+    or doclen — tokens are a deterministic Catalyst projection of text⊕norm
+    (and doclen of tokens), so storing them would double the store for data
+    one codegen stage re-derives at memory speed (the shared-disk regime is
+    where builds bottleneck first; cf. BENCH/BASELINE.md).
+
+    A frame carrying ``text`` but no ``norm`` column is REFUSED by default
+    (ADVICE r2): silently substituting NULL would re-derive tokens from raw
+    text and diverge from the frozen analyzer on non-ASCII rows — exactly
+    the hazard CLAUDE.md's convention warns about. Pass
+    ``allow_missing_norm=True`` only for frames known to be ASCII-only.
     """
-    if "tokens" in docs.columns:
-        return docs
-    norm = F.col("norm") if "norm" in docs.columns else F.lit(None).cast("string")
-    return docs.withColumn("tokens", nostem_tokens(F.coalesce(norm, F.col("text"))))
+    if "tokens" not in docs.columns:
+        if "norm" in docs.columns:
+            norm = F.col("norm")
+        elif allow_missing_norm:
+            norm = F.lit(None).cast("string")
+        else:
+            raise ValueError(
+                "docs frame has text but no 'norm' column — re-deriving tokens "
+                "would silently change tokenization for non-ASCII rows; keep "
+                "the nullable norm column wherever text is persisted, or pass "
+                "allow_missing_norm=True for ASCII-only frames"
+            )
+        docs = docs.withColumn("tokens", nostem_tokens(F.coalesce(norm, F.col("text"))))
+    if "doclen" not in docs.columns:
+        docs = docs.withColumn("doclen", F.size("tokens"))
+    return docs

@@ -26,6 +26,7 @@ from splade_spark.curation.fingerprint import winnow, winnow_fingerprints
 from splade_spark.curation.multimodal import (
     byte_histogram_features,
     decode_image,
+    encode_y4m,
     sample_frames,
 )
 
@@ -46,5 +47,6 @@ __all__ = [
     "winnow_fingerprints",
     "byte_histogram_features",
     "sample_frames",
+    "encode_y4m",
     "decode_image",
 ]

@@ -50,7 +50,8 @@ def _wrap_udf():
 
 
 def web_pages_from_documents(
-    docs: DataFrame, replicate: int = 1, expand_text: int = 1
+    docs: DataFrame, replicate: int = 1, expand_text: int = 1,
+    vocab_hash_buckets: int = 0,
 ) -> DataFrame:
     """documents(doc_id,text,lang,source,n_chars) → web_pages(url,warc_ts,html,text,lang).
 
@@ -61,6 +62,15 @@ def web_pages_from_documents(
     data; the driver corpus stays the only source. Query texts must be
     suffixed the same way to hit the expanded vocabulary (see
     expand_query_text).
+
+    ``vocab_hash_buckets`` > 0 additionally salts every word with a
+    deterministic per-(word, url) hash tail (``wordh<k>``), k ∈ [0, buckets):
+    the vocabulary then GROWS with corpus size (Heaps-law-like, toward
+    base_vocab × buckets) while keeping the zipfian head shape — the
+    high-cardinality fixture VERDICT r2 #4 asked for, because a tiny frozen
+    vocabulary flatters per-distinct-term work (stem map, dictionary) that
+    real web text pays in full. Salted copies differ textually, so the html
+    wrap runs per copy here.
     """
     if expand_text > 1:
         paras = F.transform(
@@ -77,13 +87,33 @@ def web_pages_from_documents(
         F.col("text"),
         F.col("lang"),
     )
-    if replicate <= 1:
-        return base
-    copies = base.sparkSession.range(replicate).withColumnRenamed("id", "copy")
-    return base.crossJoin(copies).select(
-        F.concat(F.col("url"), F.lit("?copy="), F.col("copy")).alias("url"),
-        (F.col("warc_ts") + F.make_interval(hours=F.col("copy").cast("double"))).alias("warc_ts"),
-        "html",
-        "text",
-        "lang",
-    )
+    if replicate > 1:
+        copies = base.sparkSession.range(replicate).withColumnRenamed("id", "copy")
+        base = base.crossJoin(copies).select(
+            F.concat(F.col("url"), F.lit("?copy="), F.col("copy")).alias("url"),
+            (F.col("warc_ts") + F.make_interval(hours=F.col("copy").cast("double"))).alias("warc_ts"),
+            "html",
+            "text",
+            "lang",
+        )
+    if vocab_hash_buckets > 0:
+        salted_words = F.transform(
+            F.split(F.col("text"), r"\s+"),
+            # tail rides INSIDE each alnum run ('fast,' → 'fasth7,') so the
+            # analyzer sees one salted token, not word + a shared 'h7' token
+            lambda w: F.regexp_replace(
+                w,
+                F.lit("([a-z0-9]+)"),
+                F.concat(
+                    F.lit("$1h"),
+                    F.pmod(
+                        F.xxhash64(F.lower(w), F.col("url")),
+                        F.lit(vocab_hash_buckets),
+                    ).cast("string"),
+                ),
+            ),
+        )
+        base = base.withColumn("text", F.concat_ws(" ", salted_words)).withColumn(
+            "html", _wrap_udf()(F.col("text"))
+        )
+    return base

@@ -79,15 +79,26 @@ def stream_build_segments(
 
         docs = docs_from_chunks(chunk_pages(batch_df, cfg, use_html=use_html), cfg)
         # Persist this batch's chunk docs so a later refit_compact can re-fit
-        # over the FULL corpus. Tokens are dropped (derived projection, same
-        # convention as the batch chunk store). Partitioned by batch id +
-        # dynamic overwrite → a replayed micro-batch rewrites only its own
-        # partition (idempotent, same guarantee as the blocks write below).
-        docs.drop("tokens").withColumn("batch", F.lit(int(batch_id))).write.mode(
+        # over the FULL corpus. Tokens and doclen are dropped (derived
+        # projections, same convention as the batch chunk store — schemas
+        # must match for the refit union). Partitioned by batch id + dynamic
+        # overwrite → a replayed micro-batch rewrites only its own partition
+        # (idempotent, same guarantee as the blocks write below). The batch
+        # doc count rides the write as an observed aggregate — it feeds the
+        # manifest's n_docs with the SAME definition the batch builder uses
+        # (all docs stored for the segment, zero-token docs included;
+        # ADVICE r2 unified the two paths).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        docs.drop("tokens", "doclen").observe(
+            obs, F.count(F.lit(1)).alias("n_docs")
+        ).withColumn("batch", F.lit(int(batch_id))).write.mode(
             "overwrite"
         ).option("partitionOverwriteMode", "dynamic").partitionBy("batch").parquet(
             os.path.join(index_dir, "docs_stream")
         )
+        n_docs_batch = int(obs.get["n_docs"])
         # Same one-exchange shape as batch phase 1: surface tf (no shuffle) →
         # batch-local stem map + frozen-dictionary broadcast joins → the pack
         # repartition; stemmed partial duplicates merge inside the pack
@@ -116,17 +127,27 @@ def stream_build_segments(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("segment_id").parquet(blocks_root)
         elapsed = max(time.monotonic() - t0, 1e-9)
-        agg = long.agg(
-            F.countDistinct("term_id", "doc_id").alias("n_postings"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        ).head()
+        # n_postings from the just-written block metadata (Σ n_docs per
+        # block = distinct (term, doc) pairs after the in-pack merge) — same
+        # definition and same zero-extra-pass trick as the batch builder;
+        # the countDistinct over `long` it replaces re-ran the whole
+        # chunk→surface pipeline once more per micro-batch.
+        n_postings = (
+            int(
+                spark.read.parquet(seg_path)
+                .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("s"))
+                .head()["s"]
+            )
+            if os.path.isdir(seg_path)
+            else 0  # batch had no in-dictionary postings → no partition dir
+        )
         _commit_manifest(
             index,
             {
                 "segment_id": seg_id,
                 "status": "committed",
-                "n_docs": int(agg.n_docs),
-                "n_postings": int(agg.n_postings),
+                "n_docs": n_docs_batch,
+                "n_postings": n_postings,
                 "bytes": _dir_bytes(seg_path),
                 "built_ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "lineage": json.dumps(

@@ -50,6 +50,10 @@ def extract_text_bytes(html: bytes | None) -> str:
 # ---------------------------------------------------------------------------
 
 _PDF_MAGIC = b"%PDF-"
+# a REAL tag open: '<' immediately followed by a letter, '!' or '/', with a
+# closing '>' somewhere after — bare comparison operators ('a < b and c > d')
+# must NOT route plain text onto the tag-strip path (ADVICE r2)
+_TAG_LIKE_RE = re.compile(rb"<[a-zA-Z!/][^>]*>")
 
 
 def detect_payload_type(payload: bytes | None, url: str | None = None) -> str:
@@ -69,7 +73,7 @@ def detect_payload_type(payload: bytes | None, url: str | None = None) -> str:
         (".html", ".htm")
     ):
         return "html"
-    if b"<" in head and b">" in head:
+    if _TAG_LIKE_RE.search(head):
         return "html"  # tag-bearing fragment → tag-strip fallback path
     return "text"
 

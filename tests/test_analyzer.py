@@ -218,3 +218,21 @@ def test_surface_term_counts_property(spark):
         for t, c in Counter(toks).items():
             exp[(i, t)] = (c, len(toks))
     assert got == exp
+
+
+def test_attach_tokens_refuses_missing_norm(spark):
+    """ADVICE r2: a docs frame with text but no norm column must raise —
+    silently substituting NULL would change tokenization on non-ASCII rows."""
+    import pytest as _pytest
+
+    from splade_spark.build.chunker import attach_tokens
+
+    docs = spark.createDataFrame([(1, "Héllo wörld")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="norm"):
+        attach_tokens(docs)
+    # explicit opt-in for ASCII-only frames still works
+    out = attach_tokens(
+        spark.createDataFrame([(1, "hello world")], ["doc_id", "text"]),
+        allow_missing_norm=True,
+    ).collect()[0]
+    assert out.tokens == ["hello", "world"] and out.doclen == 2

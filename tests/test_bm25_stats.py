@@ -148,3 +148,53 @@ def test_term_id_path_auto_selection(spark):
     got_big = {r.term: r.term_id for r in big.collect()}
     got_small = {r.term: r.term_id for r in small.collect()}
     assert got_big == got_small and len(got_big) == 500
+
+
+def test_driver_dictionary_equals_distributed(spark, monkeypatch):
+    """The small-vocab driver fast path (VERDICT r3: job-count reduction)
+    and the distributed window path produce identical dictionaries —
+    including the epsilon-floored idf for head terms (negative raw idf),
+    which exercises the avg(raw_idf) divergence tolerance."""
+    import splade_spark.build.stats as stats_mod
+    from splade_spark.build.stats import build_dictionary
+    from splade_spark.config import EngineConfig
+
+    cfg = EngineConfig().with_analyzer(stem=False)
+    # 4 docs; 'head' in 3 of 4 → raw idf = ln(1.5/3.5) < 0 → epsilon floor
+    tf_rows = [
+        (0, "head", 2), (1, "head", 1), (2, "head", 1),
+        (0, "alpha", 1), (1, "beta", 1), (2, "gamma", 2), (3, "delta", 1),
+    ]
+    tf = spark.createDataFrame(tf_rows, ["doc_id", "term", "tf"])
+    stats = spark.createDataFrame([(4, 2.0)], ["n_docs", "avgdl"])
+
+    d_driver = {r.term: r for r in build_dictionary(tf, stats, cfg).collect()}
+    monkeypatch.setattr(stats_mod, "_DRIVER_VOCAB_THRESHOLD", 0)
+    d_dist = {r.term: r for r in build_dictionary(tf, stats, cfg).collect()}
+
+    assert set(d_driver) == set(d_dist) and len(d_driver) == 5
+    for t in d_driver:
+        assert d_driver[t].term_id == d_dist[t].term_id
+        assert d_driver[t].df == d_dist[t].df
+        assert d_driver[t].idf == pytest.approx(d_dist[t].idf, rel=1e-12)
+    assert d_driver["head"].idf == pytest.approx(
+        0.25 * (sum(math.log((4 - df_ + 0.5) / (df_ + 0.5)) for df_ in (3, 1, 1, 1, 1)) / 5)
+    )
+
+
+def test_build_dictionary_accepts_int_n_docs(spark):
+    """corpus_stats may be a plain int (write-time observation) — the
+    segmented fit passes n_docs directly so no stats job runs in the fit."""
+    from splade_spark.build.stats import build_dictionary
+    from splade_spark.config import EngineConfig
+
+    cfg = EngineConfig().with_analyzer(stem=False)
+    tf = spark.createDataFrame(
+        [(0, "a", 1), (1, "b", 1), (1, "a", 2)], ["doc_id", "term", "tf"]
+    )
+    stats = spark.createDataFrame([(2, 2.0)], ["n_docs", "avgdl"])
+    d1 = {r.term: r for r in build_dictionary(tf, stats, cfg).collect()}
+    d2 = {r.term: r for r in build_dictionary(tf, 2, cfg).collect()}
+    assert {t: (r.term_id, r.df, r.idf) for t, r in d1.items()} == {
+        t: (r.term_id, r.df, r.idf) for t, r in d2.items()
+    }

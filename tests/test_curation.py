@@ -4,7 +4,6 @@ multimodal plumbing."""
 from __future__ import annotations
 
 import hashlib
-import math
 from collections import Counter
 
 import numpy as np
@@ -189,10 +188,23 @@ def test_multimodal_plumbing(spark):
     assert feats[1].features == pytest.approx([1 / 16] * 16)
     assert feats[2].entropy == 0.0  # constant bytes
     assert feats[3].n_bytes == 0
-    frames = sample_frames(df, frame_bytes=1024, stride=10).collect()
-    by_id = Counter(r.media_id for r in frames)
-    assert by_id[2] == math.ceil(math.ceil(50_000 / 1024) / 10)
-    assert all(len(r.frame) <= 1024 for r in frames)
+    # video: REAL Y4M demux (native byte parsing — no codec libs)
+    from splade_spark.curation.multimodal import MEDIA_SCHEMA, encode_y4m
+
+    w, h = 4, 2
+    raw_frames = [bytes([i] * (w * h * 3)) for i in range(25)]
+    y4m = encode_y4m(raw_frames, w, h, "444")
+    vid = spark.createDataFrame(
+        [(7, "video", bytearray(y4m), ("video/x-yuv4mpeg", w, h, 1000))], MEDIA_SCHEMA
+    )
+    frames = sample_frames(vid, stride=10).collect()
+    assert [(r.frame_idx, bytes(r.frame)) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
+        (0, raw_frames[0]), (10, raw_frames[10]), (20, raw_frames[20])
+    ]
+    assert all(r.width == w and r.height == h and r.colorspace == "444" for r in frames)
+    # non-Y4M containers stay codec-gated (no pseudo-frame fabrication)
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        sample_frames(df.filter(F.col("media_id") == 2), stride=10).collect()
 
 
 def test_decode_image_native_and_resize(spark):
@@ -263,3 +275,25 @@ def test_near_dup_clusters_components(spark):
             spark.createDataFrame([(i,) for i in range(1, 10)], ["doc_id"]),
             long_chain, max_iter=2,
         )
+
+
+def test_lsh_candidates_plan_construction_runs_no_job(spark):
+    """minhash_lsh_candidates with n_hashes given must NOT trigger a Spark
+    job while building the candidate plan (VERDICT r2 Wrong #2: the max(i)
+    probe scanned the whole O(N·H) signature relation)."""
+    from splade_spark.curation import minhash_lsh_candidates, minhash_signatures, shingle_tokens
+
+    # identical shingle sets → identical signatures → every band matches,
+    # so the expected candidate pair is DETERMINISTIC (a partial overlap
+    # would make band collision probabilistic and the test flaky)
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "c", "d"])], ["doc_id", "tokens"]
+    )
+    sigs = minhash_signatures(shingle_tokens(docs, 3), n_hashes=16)
+    tracker = spark.sparkContext.statusTracker()
+    before = max(tracker.getJobIdsForGroup() or [-1])
+    cands = minhash_lsh_candidates(sigs, n_bands=4, n_hashes=16)
+    after = max(tracker.getJobIdsForGroup() or [-1])
+    assert after == before, "plan construction launched a Spark job"
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    assert pairs == {(1, 2)}

@@ -110,3 +110,18 @@ class TestContentDispatch:
 
         payload = b"%PDF-1.4 body bytes"
         assert extract_any(payload) == f"PDF TEXT {len(payload)}"
+
+
+def test_plain_text_with_angle_brackets_stays_text():
+    """ADVICE r2: 'a < b and c > d' must take the utf-8 identity path, not
+    lose the bracketed span to the tag-strip fallback."""
+    from splade_spark.text.extractor import detect_payload_type, extract_any
+
+    payload = "for a < b and c > d the loop runs".encode()
+    assert detect_payload_type(payload) == "text"
+    assert extract_any(payload) == "for a < b and c > d the loop runs"
+    # a real tag still routes to html
+    assert detect_payload_type(b"plain <b>bold</b> fragment") == "html"
+    assert extract_any(b"plain <b>bold</b> fragment") == "plain bold fragment"
+    # closing-tag-only fragments too
+    assert detect_payload_type(b"</div> trailing") == "html"
