@@ -45,7 +45,8 @@ def _read_busy_jiffies() -> tuple[int, int]:
 
 def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: str,
               expand_text: int = 1, cpu_cap: bool = True,
-              vocab_buckets: int = 0, warm_build: int = 0) -> dict:
+              vocab_buckets: int = 0, warm_build: int = 0,
+              driver_mem: str = "12g") -> dict:
     out_dir = os.path.join(workdir, f"idx_{cpus}_{time.monotonic_ns()}")
     stage = os.path.join(workdir, f"pages_{cpus}")
     # CPU-cap each level to its core budget (taskset), the way YARN/K8s
@@ -60,7 +61,7 @@ def run_build(cpus: int, sf_dir: str, replicate: int, workdir: str, zip_path: st
         "--master", f"local[{cpus}]",
         "--conf", f"spark.sql.shuffle.partitions={cpus}",
         "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.driver.memory=12g",
+        "--conf", f"spark.driver.memory={driver_mem}",
         # shuffle/spill files follow the workdir (per-node disk model — the
         # default /tmp sits on the one shared virtual disk)
         "--conf", f"spark.local.dir={os.path.join(workdir, 'sparktmp_' + str(cpus))}",
@@ -112,6 +113,11 @@ def main() -> None:
                          "— leaving it in the timed window puts a constant "
                          "~15-20s serial term in T(N) that no partitioning "
                          "strategy can remove; 0 disables)")
+    ap.add_argument("--driver-mem", default="12g",
+                    help="heap per leg (local mode: the whole JVM). Size so "
+                         "the surface cache fits at the chosen replicate — "
+                         "eviction mid-build silently re-runs the tokenize "
+                         "pass (the replicate=72 T(8) blow-up)")
     ap.add_argument("--no-cpu-cap", action="store_true",
                     help="disable the per-level taskset core cap (cap on = "
                          "container-capped executor model)")
@@ -154,7 +160,8 @@ def main() -> None:
                                 expand_text=args.expand_text,
                                 cpu_cap=not args.no_cpu_cap,
                                 vocab_buckets=args.vocab_buckets,
-                                warm_build=args.warm_build)
+                                warm_build=args.warm_build,
+                                driver_mem=args.driver_mem)
                 samples[cpus].append(rec)
                 print(f"local[{cpus}]: {json.dumps(rec)}", flush=True)
         results = {}

@@ -198,3 +198,30 @@ def test_build_dictionary_accepts_int_n_docs(spark):
     assert {t: (r.term_id, r.df, r.idf) for t, r in d1.items()} == {
         t: (r.term_id, r.df, r.idf) for t, r in d2.items()
     }
+
+
+def test_corpus_stats_from_surface_bit_identical(spark):
+    """corpus_stats_from_surface (count(docs) + Σ surface.tf, the fit-pass
+    formulation) must be BIT-identical to the reference compute_corpus_stats
+    (Σ doclen) — including zero-token docs, which contribute 0 to the sum
+    but still count in N (surface_term_counts filters them out, so only the
+    doc-count side may see them)."""
+    from splade_spark.build.chunker import attach_tokens
+    from splade_spark.build.postings import surface_term_counts
+    from splade_spark.build.stats import compute_corpus_stats, corpus_stats_from_surface
+
+    rows = [
+        (0, "spark joins tables fast"),
+        (1, ""),                      # zero tokens: in N, not in surface
+        (2, "hash join hash join hash"),
+        (3, "the of and"),            # all stopwords → zero tokens post-filter
+    ]
+    docs = attach_tokens(
+        spark.createDataFrame(rows, ["doc_id", "text"]), allow_missing_norm=True
+    )
+    ref = compute_corpus_stats(docs).collect()[0]
+    got = corpus_stats_from_surface(
+        docs.select("doc_id", "text"), surface_term_counts(docs)
+    ).collect()[0]
+    assert got["n_docs"] == ref["n_docs"] == 4
+    assert got["avgdl"] == ref["avgdl"]  # exact float equality, not approx
