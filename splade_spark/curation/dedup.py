@@ -181,22 +181,122 @@ def minhash_near_dup_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., Connected Components in MapReduce
+    and Beyond): group the SYMMETRIC neighborhood of every node u, let
+    m = min(Γ(u) ∪ {u}), and re-attach every strictly-larger neighbor to m
+    — emit (v, m) for v ∈ Γ(u), v > u. Halves tall subtrees each pass."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient every edge toward its larger endpoint, group
+    by that endpoint u (all neighbors now ≤ u), and attach u and all its
+    small neighbors to m = min(Γ(u) ∪ {u}) — emit (v, m) for
+    v ∈ Γ(u) ∪ {u}, v ≠ m. Flattens shallow subtrees into stars."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    with_self = oriented.unionByName(
+        oriented.select("u", F.col("u").alias("v")).distinct()
+    )
+    return (
+        with_self.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _star_components(docs: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star to the edge-set fixpoint: O(log n)
+    rounds on ANY graph topology (each pair of passes at least halves the
+    height of every component's forest), vs diameter rounds for label
+    propagation. At the fixpoint the edge set is a star forest — every edge
+    is (member, component-min)."""
+    from pyspark.sql import Observation
+
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    prev = None
+    for _ in range(max_iter):
+        stepped = _small_star(_large_star(e))
+        # convergence = edge-set checksum stable; the checksum rides the
+        # SAME job that materializes the round's localCheckpoint
+        obs = Observation()
+        e = stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent set checksum that cannot overflow
+            # (ANSI mode rejects a plain sum of xxhash64 longs)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("ck"),
+        ).localCheckpoint(eager=True)
+        row = obs.get
+        ck = (int(row["n"]), int(row["ck"]))
+        if ck == prev:
+            break
+        prev = ck
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
+    # star forest → labels; min(v) per u is a no-op guard (each non-root u
+    # carries exactly one parent at the fixpoint)
+    stars = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (
+        docs.select("doc_id")
+        .join(stars, docs["doc_id"] == stars["u"], "left")
+        .select(
+            "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
 def near_dup_clusters(
-    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25, method: str = "propagation"
 ) -> DataFrame:
     """docs(doc_id, …) + near-dup pairs(doc_a, doc_b) → (doc_id, cluster_id).
 
     Connected components with cluster_id = min doc_id in the component — the
     canonical-survivor assignment a dedup pipeline keeps one doc per cluster
-    from. Min-label propagation over the (symmetrized) edge set, iterated to
-    a CHECKED fixpoint; convergence needs at most the component diameter
-    rounds, and near-dup clusters are diameter-tiny by construction (near
-    dups of a doc are overwhelmingly near dups of each other). For
-    adversarial long-chain graphs at extreme scale, swap the propagation
-    step for alternating large-star/small-star (Kiveris et al.) — same
-    fixpoint, O(log n) rounds; the iteration scaffold here is unchanged.
-    Each round is one combiner-friendly min aggregation.
+    from. Two interchangeable engines (identical output, parity-tested):
+
+    * ``method="propagation"`` (default): min-label propagation over the
+      symmetrized edge set to a CHECKED fixpoint. One combiner-friendly min
+      aggregation per round; converges in component-diameter rounds — and
+      near-dup clusters are diameter-tiny by construction (near dups of a
+      doc are overwhelmingly near dups of each other), so this is the cheap
+      path for the dedup workload.
+    * ``method="star"``: alternating large-star/small-star contraction
+      (Kiveris et al.) — O(log n) rounds on ANY topology, the right engine
+      when components can be adversarially deep (citation graphs, link
+      chains) at 100 TB scale. More shuffles per round, exponentially fewer
+      rounds.
     """
+    if method == "star":
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            )
+            .distinct()
+        )
+        return _star_components(docs, edges, max_iter)
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r} (propagation or star)")
     from pyspark.sql import Observation
 
     edges = (

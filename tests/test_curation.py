@@ -297,3 +297,40 @@ def test_lsh_candidates_plan_construction_runs_no_job(spark):
     assert after == before, "plan construction launched a Spark job"
     pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_near_dup_clusters_star_parity(spark):
+    """large-star/small-star engine (method='star'): identical labels to
+    propagation, and O(log n) convergence on the adversarial long chain that
+    propagation needs diameter rounds for."""
+    import random
+
+    from splade_spark.curation import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in near_dup_clusters(docs, pairs, method="star").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+    # chain 1-…-9 (diameter 8): propagation refuses at max_iter=2
+    # (test above); star contraction finishes within ~log2(9)+2 rounds
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in near_dup_clusters(docs, long_chain, max_iter=6, method="star").collect()}
+    assert got == {i: 1 for i in range(1, 10)}
+
+    # seeded random graph: both engines agree exactly
+    rng = random.Random(42)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+    rdocs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    rpairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    prop = {r.doc_id: r.cluster_id for r in near_dup_clusters(rdocs, rpairs).collect()}
+    star = {r.doc_id: r.cluster_id
+            for r in near_dup_clusters(rdocs, rpairs, method="star").collect()}
+    assert prop == star
