@@ -127,8 +127,36 @@ def minhash_signatures(shingled: DataFrame, n_hashes: int = 64) -> DataFrame:
     )
 
 
+def cap_bucket_sizes(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop hash buckets larger than ``max_bucket_size`` before a bucket
+    self-join (None = off).
+
+    A bucket of size B emits B·(B-1)/2 candidate pairs — one degenerate
+    bucket (empty-shingle docs, boilerplate, an adversarial hot key) turns
+    the linear candidate stage quadratic at web scale. The cap bounds
+    per-bucket work with one linear aggregation; members of an over-cap
+    bucket still pair through their OTHER bands when genuinely near-dup, so
+    recall on mega-clusters degrades gracefully rather than the job dying.
+    The capped relation is what a skew-aware 100 TB run feeds the join.
+    """
+    if max_bucket_size is None:
+        return banded
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(sizes, keys)
+
+
 def minhash_lsh_candidates(
-    signatures: DataFrame, n_bands: int = 16, n_hashes: int | None = None
+    signatures: DataFrame,
+    n_bands: int = 16,
+    n_hashes: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_id, i, sig) → candidate (doc_a, doc_b) sharing ≥1 LSH band.
 
@@ -136,6 +164,8 @@ def minhash_lsh_candidates(
     computation); the ``max(i)`` fallback probe runs a FULL pass over the
     O(N·H) signature relation during what should be pure plan construction
     (VERDICT r2 Wrong #2) and exists only for ad-hoc use on foreign frames.
+    ``max_bucket_size`` guards the band self-join against hot buckets
+    (``cap_bucket_sizes``).
     """
     if n_hashes is None:
         n_hashes = signatures.agg(F.max("i")).head()[0] + 1
@@ -147,6 +177,7 @@ def minhash_lsh_candidates(
             F.concat_ws(":", F.col("i"), F.col("sig"))
         )))).alias("band_sig"))
     )
+    banded = cap_bucket_sizes(banded, ["band", "band_sig"], max_bucket_size)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
@@ -393,13 +424,15 @@ def simhash64(docs: DataFrame, tokens_col: str = "tokens", bits: int = 60) -> Da
 
 
 def simhash_near_pairs(
-    sims: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = 60
+    sims: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = 60,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_id, simhash) → pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole: with n_bands > max_hamming, any qualifying pair agrees on at
     least one whole band — the banded equi-join finds all of them; exact
-    hamming (bit_count of xor) filters false positives.
+    hamming (bit_count of xor) filters false positives. ``max_bucket_size``
+    guards the band self-join against hot buckets (``cap_bucket_sizes``).
     """
     assert n_bands > max_hamming, "pigeonhole requires n_bands > max_hamming"
     band_bits = bits // n_bands
@@ -414,6 +447,7 @@ def simhash_near_pairs(
             f"cast(pow(2, {band_bits}) as bigint))"
         ),
     )
+    banded = cap_bucket_sizes(banded, ["band", "band_val"], max_bucket_size)
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val")
     return (

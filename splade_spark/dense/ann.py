@@ -133,13 +133,17 @@ def lsh_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 6,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs — the 10^12-row path.
 
     Candidates = vector pairs sharing a signature in ANY table (near-dup
     vectors agree on most hyperplane signs, so collision probability per
     table is high at cosine ≥ 0.95); exact cosine verifies. The quadratic
-    blow-up is confined to same-bucket minibatches.
+    blow-up is confined to same-bucket minibatches; ``max_bucket_size``
+    additionally drops hot buckets (the all-zeros signature collects every
+    near-origin vector) before the self-join — see
+    ``curation.dedup.cap_bucket_sizes``.
     """
     dim = _require_dim(dim)
     e_base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
@@ -155,6 +159,9 @@ def lsh_near_dup_pairs(
     all_sigs = sigs[0]
     for s in sigs[1:]:
         all_sigs = all_sigs.unionByName(s)
+    from splade_spark.curation.dedup import cap_bucket_sizes
+
+    all_sigs = cap_bucket_sizes(all_sigs, ["table", "sig"], max_bucket_size)
     a = all_sigs.select(F.col("vec_id").alias("vec_a"), "table", "sig")
     b = all_sigs.select(F.col("vec_id").alias("vec_b"), "table", "sig")
     candidates = (

@@ -334,3 +334,32 @@ def test_near_dup_clusters_star_parity(spark):
     star = {r.doc_id: r.cluster_id
             for r in near_dup_clusters(rdocs, rpairs, method="star").collect()}
     assert prop == star
+
+
+def test_bucket_size_cap(spark):
+    """Hot-bucket cap (100 TB skew guard): an over-cap band bucket emits no
+    candidate pairs, while under-cap buckets are untouched."""
+    from splade_spark.curation import minhash_lsh_candidates, minhash_signatures, shingle_tokens
+    from splade_spark.curation.dedup import cap_bucket_sizes
+
+    # 6 identical docs → one size-6 bucket per band; 2 other identical docs
+    # → independent size-2 buckets
+    rows = [(i, ["a", "b", "c", "d"]) for i in range(6)]
+    rows += [(10, ["x", "y", "z", "w"]), (11, ["x", "y", "z", "w"])]
+    docs = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    sigs = minhash_signatures(shingle_tokens(docs, 3), n_hashes=16)
+    uncapped = {(r.doc_a, r.doc_b) for r in
+                minhash_lsh_candidates(sigs, n_bands=4, n_hashes=16).collect()}
+    assert (10, 11) in uncapped and (0, 1) in uncapped
+    capped = {(r.doc_a, r.doc_b) for r in
+              minhash_lsh_candidates(sigs, n_bands=4, n_hashes=16,
+                                     max_bucket_size=4).collect()}
+    assert capped == {(10, 11)}  # the size-6 buckets are dropped everywhere
+
+    # helper unit semantics: exact boundary (<= cap kept)
+    banded = spark.createDataFrame(
+        [(0, "h", i) for i in range(3)] + [(1, "h", 9)], ["band", "sig", "doc_id"]
+    )
+    kept = cap_bucket_sizes(banded, ["band", "sig"], 3).count()
+    assert kept == 4  # size-3 bucket kept at cap=3, size-1 kept
+    assert cap_bucket_sizes(banded, ["band", "sig"], 2).count() == 1
