@@ -611,9 +611,15 @@ bands AS (
          string_agg(i || ':' || sig, ',' ORDER BY i) AS bsig
   FROM sigs GROUP BY doc_id, (i // {rpb})::INT
 ),
+band_ok AS (
+  SELECT band, bsig FROM bands GROUP BY band, bsig HAVING count(*) <= 4096
+),
+bands_c AS (
+  SELECT bands.* FROM bands JOIN band_ok USING (band, bsig)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  FROM bands_c a JOIN bands_c b ON a.band = b.band AND a.bsig = b.bsig
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
@@ -655,9 +661,15 @@ bands AS (
          string_agg(i || ':' || sig, ',' ORDER BY i) AS bsig
   FROM sigs GROUP BY doc_id, (i // {rpb})::INT
 ),
+band_ok AS (
+  SELECT band, bsig FROM bands GROUP BY band, bsig HAVING count(*) <= 4096
+),
+bands_c AS (
+  SELECT bands.* FROM bands JOIN band_ok USING (band, bsig)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  FROM bands_c a JOIN bands_c b ON a.band = b.band AND a.bsig = b.bsig
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),

@@ -142,6 +142,28 @@ def main() -> None:
         check("lsh topk plan", _plan(lsh_df),
               {"broadcast candidates": r"BroadcastExchange|BroadcastHashJoin"})
 
+        # 6) minhash near-dup verification must be CANDIDATE-FIRST (VERDICT
+        # r3 Wrong #1: the old composition aggregated the FULL quadratic
+        # shingle self-join before filtering to LSH candidates). The plan
+        # property: no join keyed on shingle ALONE anywhere (the exact
+        # intersection joins carry a doc key alongside the shingle), and the
+        # two-key (doc_b, shingle) verification join is present.
+        from splade_spark.curation.dedup import minhash_near_dup_pairs
+
+        nd = minhash_near_dup_pairs(frames.docs, threshold=0.2)
+        check(
+            "minhash near-dup candidate-first",
+            _plan(nd),
+            {
+                "candidate-scoped intersection join":
+                    r"keys \[2\]: \[doc_b#\d+L?, shingle#",
+            },
+            forbidden={
+                "no shingle-only self-join":
+                    r"keys \[1\]: \[shingle#",
+            },
+        )
+
     print("\n" + ("ALL CHECKS PASSED" if not failures else f"FAILURES: {failures}"))
     spark.stop()
     sys.exit(1 if failures else 0)

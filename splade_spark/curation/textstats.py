@@ -54,11 +54,15 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     smooth score): penalize very short docs, high punctuation/digit density,
     low vocabulary diversity, and near-zero stopword share.
     """
-    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS_EN) if "'" not in w])
+    # IN <literal set> predicate, not array_contains over a 170-element
+    # array literal (O(|words|·170) probes — VERDICT r3 next #8): the
+    # optimizer compiles the IN to an O(1) InSet hash probe, same idiom as
+    # text/catalyst.py nostem_tokens.
+    stops = [w for w in sorted(STOPWORDS_EN) if "'" not in w]
     lowered = F.lower(F.col(text_col))
     words = F.regexp_extract_all(lowered, F.lit(_WORD_RE), 0)
     nw = F.greatest(F.size(words), F.lit(1)).cast("double")
-    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / nw
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*stops))) / nw
     distinct_ratio = F.size(F.array_distinct(words)) / nw
     punct_ratio = F.length(F.regexp_replace(lowered, "[a-z0-9\\s]", "")) / F.greatest(
         F.length(F.col(text_col)), F.lit(1)

@@ -65,6 +65,12 @@ def brute_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) ->
 
     Returns (query_id, vec_id, score, rank). Excludes self-matches when the
     query IS a corpus vector (query_id == vec_id), mirroring kNN conventions.
+
+    BASELINE-ONLY by design: the ranking window shuffles the full Q×N scored
+    relation (every corpus vector scored for every query) — the semantic
+    ground truth the approximate paths are recall-tested against, not a 100 TB
+    plan. The scale paths are ``lsh_cosine_topk`` / ``ivf_cosine_topk``,
+    whose ``_ranked`` input is already the narrow candidate set.
     """
     q = F.broadcast(queries.select("query_id", F.col("qvec").cast("array<double>").alias("qvec")))
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
@@ -133,7 +139,7 @@ def lsh_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 6,
     dim: int | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs — the 10^12-row path.
 
@@ -143,7 +149,9 @@ def lsh_near_dup_pairs(
     blow-up is confined to same-bucket minibatches; ``max_bucket_size``
     additionally drops hot buckets (the all-zeros signature collects every
     near-origin vector) before the self-join — see
-    ``curation.dedup.cap_bucket_sizes``.
+    ``curation.dedup.cap_bucket_sizes``. ON by default (4096, mirroring
+    ``curation.dedup.DEFAULT_MAX_BUCKET_SIZE`` — kept a literal here to
+    avoid a module-level curation↔dense import cycle); None disables.
     """
     dim = _require_dim(dim)
     e_base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
