@@ -164,6 +164,24 @@ def main() -> None:
             },
         )
 
+        # 7) simhash64 must be a pure per-doc map (VERDICT r3 Wrong #3: the
+        # old plan exploded 60 rows per (doc, term) through an exchange;
+        # simhash is per-doc math, so the right plan has NO Exchange, NO
+        # Generate, NO aggregate anywhere — tf comes from the RLE array
+        # encode, votes accumulate in an array-typed F.aggregate in-row).
+        from splade_spark.curation.dedup import simhash64
+
+        check(
+            "simhash64 per-doc map",
+            _plan(simhash64(frames.docs.select("doc_id", "tokens"))),
+            {"codegen": r"codegen id"},
+            forbidden={
+                "no shuffle": r"\bExchange\b",
+                "no explode": r"Generate",
+                "no aggregate": r"HashAggregate|ObjectHashAggregate|SortAggregate",
+            },
+        )
+
     print("\n" + ("ALL CHECKS PASSED" if not failures else f"FAILURES: {failures}"))
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -30,14 +30,19 @@ def _rolling_hashes(data: bytes, k: int) -> np.ndarray:
     Fully numpy-vectorized (VERDICT r3 Wrong #4: the previous prefix-hash
     Horner loop ran O(n_chars) interpreted Python per doc — the slowest
     per-byte path in the repo at 100 TB). The rolling recurrence is replaced
-    by the DIRECT polynomial: hash(i) = Σ_{j<k} byte[i+j]·B^{k-1-j} mod p —
-    k strided vector passes with no sequential dependency at all. Exactness
-    under the 61-bit Mersenne modulus in uint64: each term (byte < 2^8 times
-    power < 2^61) is reduced via 32-bit limb splitting (c·p_hi·2^32 =
-    c·p_hi_hi·2^61 + c·p_hi_lo·2^32 ≡ c·p_hi_hi + c·p_hi_lo·2^32 since
-    2^61 ≡ 1 mod p), and the accumulator is folded ((x>>61)+(x&p)) after
-    every add so it never exceeds 2^62. Bit-identical to the former
-    python-int implementation (pinned by the frozen oracle + property tests).
+    by the DIRECT polynomial: hash(i) = Σ_{j<k} byte[i+j]·B^{k-1-j} mod p,
+    evaluated in ⌈k/3⌉ strided vector passes — each pass Horner-packs a
+    3-byte group c = b₀B² + b₁B + b₂ < 2^25 and multiplies it by the group's
+    power of B, with no sequential dependency anywhere. Exactness under the
+    61-bit Mersenne modulus in uint64: each c·p product is reduced via
+    32-bit limb splitting (c·p_hi·2^32 = c·p_hi_hi·2^61 + c·p_hi_lo·2^32
+    ≡ c·p_hi_hi + c·p_hi_lo·2^32 since 2^61 ≡ 1 mod p; c < 2^25 keeps
+    c·p_lo < 2^57 and the reduced term < 2^62 — c < 2^29 is the bound, so
+    3 bytes/group is the max for B = 257), and the accumulator is folded
+    ((x>>61)+(x&p)) after every add so it never exceeds 2^62. All
+    intermediates reuse two preallocated buffers. Bit-identical to the
+    original python-int implementation (pinned by the frozen oracle +
+    property tests).
     """
     raw = np.frombuffer(data, dtype=np.uint8)
     if raw.size < k:
@@ -47,16 +52,39 @@ def _rolling_hashes(data: bytes, k: int) -> np.ndarray:
     mask = np.uint64(HASH_MOD)
     s61, s32, s29 = np.uint64(61), np.uint64(32), np.uint64(29)
     lo29 = np.uint64((1 << 29) - 1)
+    b1, b2 = np.uint64(HASH_BASE), np.uint64(HASH_BASE * HASH_BASE)
+    raw64 = raw.astype(np.uint64)
     acc = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        p = pow(HASH_BASE, k - 1 - j, HASH_MOD)
-        c = raw[j : j + m].astype(np.uint64)
-        t_lo = c * np.uint64(p & 0xFFFFFFFF)  # < 2^40
-        t_hi = c * np.uint64(p >> 32)  # < 2^37
-        term = t_lo + (t_hi >> s29) + ((t_hi & lo29) << s32)  # < 2^62
-        acc += (term >> s61) + (term & mask)  # ≤ 2^61 each side pre-fold
-        acc = (acc >> s61) + (acc & mask)
-    acc = np.where(acc >= mask, acc - mask, acc)  # acc ≤ 2^61 → one subtract
+    c = np.empty(m, dtype=np.uint64)
+    t = np.empty(m, dtype=np.uint64)
+    for j in range(0, k, 3):
+        g = min(3, k - j)  # group byte-count (last group may be short)
+        # c = Horner pack of bytes j..j+g-1 over sliding windows (views, no copy)
+        np.multiply(raw64[j : j + m], b2 if g == 3 else (b1 if g == 2 else np.uint64(1)), out=c)
+        if g >= 2:
+            if g == 3:
+                np.multiply(raw64[j + 1 : j + 1 + m], b1, out=t)
+                c += t
+                c += raw64[j + 2 : j + 2 + m]
+            else:
+                c += raw64[j + 1 : j + 1 + m]
+        p = pow(HASH_BASE, k - j - g, HASH_MOD)
+        # term = c·p mod-reduced into < 2^62 via 32-bit limbs of p
+        np.multiply(c, np.uint64(p >> 32), out=t)  # c·p_hi < 2^54
+        hi_carry = t >> s29  # ≡ c·p_hi_hi (2^61 ≡ 1)
+        t &= lo29
+        t <<= s32  # c·p_hi_lo·2^32 < 2^61
+        c *= np.uint64(p & 0xFFFFFFFF)  # c·p_lo < 2^57
+        c += t
+        c += hi_carry  # term < 2^62
+        np.right_shift(c, s61, out=t)
+        c &= mask
+        acc += c
+        acc += t
+        np.right_shift(acc, s61, out=t)
+        acc &= mask
+        acc += t
+    np.subtract(acc, mask, out=acc, where=acc >= mask)  # acc ≤ 2^61 → one subtract
     return acc.astype(np.int64)
 
 
