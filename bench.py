@@ -252,6 +252,28 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, workdir: str, expand: int 
         lat.sort()
         timings["query_p95"] = lat[max(0, int(len(lat) * 0.95) - 1)]
         meta["query_p50"] = lat[len(lat) // 2]
+
+        # -- per-query p95 (InteractiveSession: persistent distributed
+        # session, driver-collected dictionary, literal-injected weights;
+        # postings stay a cached DataFrame) --------------------------------
+        from splade_spark.query.session import InteractiveSession
+
+        t0 = time.monotonic()
+        with InteractiveSession(
+            postings, frames.dictionary, DEFAULT, prepare=True
+        ) as sess:
+            meta["session_prepare_sec"] = round(time.monotonic() - t0, 3)
+            qtexts50 = [t for _, t in qrows]
+            sess.search(qtexts50[0], 5)  # warm
+            lat_s = []
+            for t in qtexts50:
+                t0 = time.monotonic()
+                sess.search(t, 5)
+                lat_s.append(time.monotonic() - t0)
+            lat_s.sort()
+            timings["query_session_p95"] = lat_s[max(0, int(len(lat_s) * 0.95) - 1)]
+            meta["session_qps"] = len(lat_s) / max(sum(lat_s), 1e-9)
+            meta["session_p50"] = lat_s[len(lat_s) // 2]
     finally:
         spark.stop()
     return {"timings": timings, "meta": meta}
