@@ -128,6 +128,25 @@ def _q_bm25_topk_k5(spark, sf_dir):
     return _topk(spark, sf_dir, 5)
 
 
+def _q_bm25_session_topk_k5(spark, sf_dir):
+    """InteractiveSession path (driver-encoded query, literal-injected
+    weights, per-query TakeOrdered jobs) — must match the naive BM25 oracle
+    rank-for-rank and score-for-score."""
+    from splade_spark.config import NOSTEM
+    from splade_spark.fixtures import FROZEN_QUERIES
+    from splade_spark.query.session import InteractiveSession
+
+    frames = _frames(spark, sf_dir)
+    rows = []
+    with InteractiveSession(frames.postings, frames.dictionary, NOSTEM) as sess:
+        for qid, text in FROZEN_QUERIES:
+            for doc_id, score, rank in sess.search(text, k=5):
+                rows.append((qid, doc_id, rank, int(round(score * 1e6))))
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long, score_e6 long"
+    )
+
+
 def _q_bm25_topk_k3(spark, sf_dir):
     return _topk(spark, sf_dir, 3)
 
@@ -371,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_encode": _q_query_encode,
         "bm25_topk_k5": _q_bm25_topk_k5,
         "bm25_topk_k3": _q_bm25_topk_k3,
+        "bm25_session_topk_k5": _q_bm25_session_topk_k5,
         "bm25_wand_topk_k5": _q_wand_topk_k5,
         "filtered_scan": _q_filtered_scan,
         "catalog_count": _q_catalog_count,
@@ -910,6 +930,7 @@ SELECT query_id::BIGINT AS query_id, term_id,
        CAST(round(qweight * 1e6) AS BIGINT) AS qweight_e6 FROM qenc""",
         "bm25_topk_k5": _topk_sql(5),
         "bm25_topk_k3": _topk_sql(3),
+        "bm25_session_topk_k5": _topk_sql(5),
         "filtered_scan": (
             "SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND n_chars > 100"
         ),
