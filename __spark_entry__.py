@@ -151,6 +151,48 @@ def _q_bm25_topk_k3(spark, sf_dir):
     return _topk(spark, sf_dir, 3)
 
 
+def _q_streaming_canonicalize(spark, sf_dir):
+    """Structured-Streaming exact-dedup canonical labeling
+    (streaming/dedup.py stream_canonicalize, applyInPandasWithState).
+
+    Staged as ONE deterministic micro-batch (single coalesced file, constant
+    event time), where first-seen == min(doc_id) — exactly the batch
+    exact-dedup oracle's canonical rule, so the streaming stateful operator
+    pins to the same DuckDB SQL as `exact_dedup`.
+    """
+    import datetime as _dt
+    import tempfile as _tf
+
+    from splade_spark.streaming import stream_canonicalize
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _tf.mkdtemp(prefix="splade_stream_canon_")
+    src = os.path.join(d, "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .withColumn("warc_ts", F.lit(_dt.datetime(2026, 1, 1)).cast("timestamp"))
+    )
+    sink = f"canon_sink_{abs(hash((id(spark), sf_dir))) % 10**9}"
+    q = (
+        stream_canonicalize(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:  # belt-and-braces: never leave a stream thread behind
+        q.stop()
+        q.awaitTermination(30)
+    return spark.sql(
+        f"select doc_id, text_md5, canonical_id from {sink}"
+    )
+
+
 def _blocks(spark, sf_dir):
     """Packed posting blocks for the NOSTEM index (cached)."""
     key = ("blocks", id(spark), sf_dir)
@@ -395,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_scan": _q_filtered_scan,
         "catalog_count": _q_catalog_count,
         "exact_dedup": _q_exact_dedup,
+        "streaming_canonicalize": _q_streaming_canonicalize,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
@@ -938,6 +981,12 @@ SELECT query_id::BIGINT AS query_id, term_id,
         # WAND must agree with the same BM25 oracle as the naive path
         "bm25_wand_topk_k5": _topk_sql(5),
         "exact_dedup": """
+SELECT doc_id, md5(text) AS text_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents""",
+        # streaming canonical labeling staged as one deterministic
+        # micro-batch ⇒ first-seen == min(doc_id): same oracle as batch
+        "streaming_canonicalize": """
 SELECT doc_id, md5(text) AS text_md5,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
 FROM documents""",

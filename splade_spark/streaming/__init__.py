@@ -1,3 +1,9 @@
+from splade_spark.streaming.dedup import stream_canonicalize, stream_exact_dedup
 from splade_spark.streaming.incremental import refit_compact, stream_build_segments
 
-__all__ = ["refit_compact", "stream_build_segments"]
+__all__ = [
+    "refit_compact",
+    "stream_build_segments",
+    "stream_canonicalize",
+    "stream_exact_dedup",
+]

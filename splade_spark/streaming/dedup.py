@@ -1,0 +1,150 @@
+"""Streaming deduplication over a continuous document/page stream.
+
+The batch curation family (curation/dedup.py) answers "which of these N docs
+are duplicates"; a crawl pipeline also needs the ONLINE form — suppress or
+label re-crawls as they arrive, without re-scanning the corpus. Two
+operators, both Spark-first:
+
+* ``stream_exact_dedup`` — declarative: watermark +
+  ``dropDuplicatesWithinWatermark`` on the content digest. Catalyst owns the
+  state store (hash-partitioned by digest across executors, RocksDB-backed
+  in production), the watermark bounds it: state for a digest is dropped
+  once the event-time watermark passes its expiry. This is the 100 TB-shaped
+  path — nothing driver-side, state strictly per-digest.
+
+* ``stream_canonicalize`` — custom stateful (``applyInPandasWithState``,
+  the task brief's stateful-operator surface): instead of DROPPING
+  duplicates it LABELS every document with the doc_id of the first-seen copy
+  (``canonical_id``) plus ``is_first`` — the streaming analog of batch
+  ``curation.dedup.exact_dups``, preserving provenance so a downstream
+  training pipeline can keep one copy and count the rest. Built-in
+  dropDuplicates cannot express this (it has no way to EMIT the duplicate
+  annotated with the survivor's identity). State is one tiny row per
+  distinct digest, keyed by digest (scales with the state store), expired by
+  processing-time timeout.
+
+Canonical rule difference vs batch: batch ``exact_dups`` picks min(doc_id)
+per digest (order-free, deterministic under re-partitioning); the stream
+picks FIRST-SEEN in arrival order (the online-feasible rule — min over the
+future is unknowable). Tests pin group membership equality between the two,
+not canonical choice.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "warc_ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """stream(id, text, ts) → first-seen docs only; state bounded by watermark.
+
+    A re-crawl arriving within ``watermark_delay`` of the first copy is
+    dropped; one arriving later (state already reclaimed) passes through —
+    the standard bounded-state trade. Downstream periodic batch
+    ``exact_dups`` over the persisted corpus is the exactness backstop.
+    """
+    digest = F.md5(F.col(text_col)).alias("text_md5")
+    return (
+        docs_stream.select(id_col, text_col, time_col)
+        .withColumn("text_md5", digest)
+        .withWatermark(time_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )
+
+
+_CANON_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text_md5", StringType()),
+        StructField("canonical_id", LongType()),
+        StructField("is_first", BooleanType()),
+        StructField("warc_ts", TimestampType()),
+    ]
+)
+_CANON_STATE = StructType([StructField("canonical_id", LongType())])
+
+
+def _canonicalize_group_fn(state_timeout_ms: int | None):
+    def _canonicalize_group(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """One digest group: first row ever seen fixes canonical_id in state."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (canonical_id,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # arrival order within the batch: event time then doc_id (ties)
+            pdf = pdf.sort_values(["warc_ts", "doc_id"], kind="stable")
+            if canonical_id is None:
+                canonical_id = int(pdf.iloc[0]["doc_id"])
+            out = pdf[["doc_id", "text_md5", "warc_ts"]].copy()
+            out["canonical_id"] = canonical_id
+            out["is_first"] = out["doc_id"] == canonical_id
+            yield out[["doc_id", "text_md5", "canonical_id", "is_first", "warc_ts"]]
+        if canonical_id is not None:
+            state.update((canonical_id,))
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(state_timeout_ms)
+
+    return _canonicalize_group
+
+
+def stream_canonicalize(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "warc_ts",
+    state_timeout_hours: float | None = None,
+) -> DataFrame:
+    """stream(id, text, ts) → (doc_id, text_md5, canonical_id, is_first, ts).
+
+    Every document is emitted, annotated with the first-seen copy's doc_id.
+    Grouping key = content digest, so state co-partitions with the shuffle
+    and each group holds ONE long — no growth with duplicate count.
+
+    ``state_timeout_hours`` reclaims state for digests idle past the horizon
+    (the bounded-state trade, in processing time). Default OFF: a pending
+    processing-time timeout keeps the micro-batch engine scheduling empty
+    batches to service it, so a ``trigger(availableNow=True)`` run would spin
+    until ``awaitTermination`` instead of terminating after the data —
+    measured: 155 empty epochs in 2 min. Set it ONLY on a genuinely
+    long-running stream (continuous trigger), where the periodic empty
+    batches are the mechanism that fires expiry.
+    """
+    prepped = docs_stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.col(time_col).alias("warc_ts"),
+    )
+    timeout_ms = (
+        None if state_timeout_hours is None else int(state_timeout_hours * 3600 * 1000)
+    )
+    return prepped.groupBy("text_md5").applyInPandasWithState(
+        _canonicalize_group_fn(timeout_ms),
+        outputStructType=_CANON_OUT,
+        stateStructType=_CANON_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
