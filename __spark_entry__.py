@@ -193,6 +193,15 @@ def _q_streaming_canonicalize(spark, sf_dir):
     )
 
 
+def _q_fingerprint_overlap(spark, sf_dir):
+    from splade_spark.curation import fingerprint_overlap_pairs
+
+    out = fingerprint_overlap_pairs(_docs(spark, sf_dir), min_shared=16)
+    return out.select(
+        "doc_a", "doc_b", F.col("shared").cast("long").alias("shared"), _e6("jaccard")
+    )
+
+
 def _blocks(spark, sf_dir):
     """Packed posting blocks for the NOSTEM index (cached)."""
     key = ("blocks", id(spark), sf_dir)
@@ -452,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
+        "fingerprint_overlap": _q_fingerprint_overlap,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -762,11 +772,15 @@ reach AS (
 SELECT doc AS doc_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY doc"""
 
 
-def _fingerprints_sql(k: int = 8, w: int = 4) -> str:
+def _fingerprints_sql(
+    k: int = 8, w: int = 4, tail: str = "SELECT doc_id, fp FROM fps"
+) -> str:
     """Winnowing fingerprints (curation/fingerprint.py) replayed in SQL:
     Karp-Rabin k-gram hashes over utf-8 bytes (via hex expansion, HUGEINT
     modular arithmetic, modulus 2^61-1), then min per full window of w
     consecutive hashes; docs with ≤ w hashes contribute their single min.
+    ``tail`` replaces the final SELECT so derived entries (overlap pairs)
+    reuse the same CTE chain.
     """
     mod = (1 << 61) - 1
     pows = [257 ** (k - 1 - j) for j in range(k)]  # weight of offset j
@@ -801,7 +815,32 @@ fps AS (
   SELECT doc_id, min(hash) AS fp
   FROM kh WHERE n - {k - 1} <= {w} GROUP BY doc_id
 )
-SELECT doc_id, fp FROM fps"""
+{tail}"""
+
+
+def _fingerprint_overlap_sql(
+    min_shared: int = 16, max_fp_df: int = 1000, k: int = 8, w: int = 4
+) -> str:
+    """curation/fingerprint.py fingerprint_overlap_pairs replayed in SQL:
+    df-cap the fps universe, self-join on fp, count shared per pair,
+    jaccard over capped per-doc fingerprint counts."""
+    tail = f""", fp_ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_fp_df}
+),
+fpo AS (SELECT fps.* FROM fps JOIN fp_ok USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fpo GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM fpo a JOIN fpo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+)
+SELECT doc_a, doc_b, shared,
+       CAST(round(shared / (sa.n_fp + sb.n_fp - shared) * 1e6) AS BIGINT)
+         AS jaccard_e6
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b"""
+    return _fingerprints_sql(k, w, tail=tail)
 
 
 def _lsh_planes_values_sql(dim: int, n_planes: int = 8, n_tables: int = 4) -> str:
@@ -1187,6 +1226,7 @@ FROM r WHERE rank <= 10""",
         # round-2 oracles for the former rows-only entries (VERDICT.md #3/#4)
         "minhash_near_dups": _minhash_near_dups_sql(),
         "fingerprints": _fingerprints_sql(),
+        "fingerprint_overlap": _fingerprint_overlap_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),

@@ -22,7 +22,11 @@ from splade_spark.curation.textstats import (
     quality_scores,
     token_stats,
 )
-from splade_spark.curation.fingerprint import winnow, winnow_fingerprints
+from splade_spark.curation.fingerprint import (
+    fingerprint_overlap_pairs,
+    winnow,
+    winnow_fingerprints,
+)
 from splade_spark.curation.multimodal import (
     byte_histogram_features,
     decode_image,
@@ -45,6 +49,7 @@ __all__ = [
     "langid_heuristic",
     "winnow",
     "winnow_fingerprints",
+    "fingerprint_overlap_pairs",
     "byte_histogram_features",
     "sample_frames",
     "encode_y4m",

@@ -109,3 +109,71 @@ def winnow_fingerprints(
         return texts.map(lambda t: winnow(t or "", k, w))
 
     return docs.select("doc_id", _fp(F.col(text_col)).alias("fingerprints"))
+
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    min_shared: int = 2,
+    max_fingerprint_df: int | None = 1000,
+) -> DataFrame:
+    """MOSS-style near-dup/plagiarism pairs: docs sharing ≥ ``min_shared``
+    winnowing fingerprints → (doc_a, doc_b, shared, jaccard).
+
+    The winnowing guarantee lifts to pairs: any shared run of length
+    ≥ w+k−1 characters yields ≥1 shared fingerprint, so ``min_shared``
+    thresholds the number of independently-evidenced shared passages —
+    LOCAL overlap detection (copied paragraphs), complementary to the
+    set-similarity family in curation/dedup.py which measures GLOBAL
+    bag-of-shingles similarity. ``jaccard`` is over the (capped)
+    fingerprint sets: shared / (|a| + |b| − shared).
+
+    Scale shape: one equi-join on fingerprint, combiner-friendly pair
+    aggregation. ``max_fingerprint_df`` (ON by default, mirroring
+    ``ngram_jaccard_pairs``'s shingle-df cap) drops fingerprints present in
+    more than that many docs BEFORE the self-join — boilerplate fragments
+    (headers, license text) are exactly the hot keys that turn the join
+    quadratic, and they carry no dedup signal. Sizes are computed over the
+    capped universe so jaccard stays exact w.r.t. it (the SQL replay
+    mirrors the cap).
+    """
+    fps = winnow_fingerprints(docs, text_col, k, w).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    if max_fingerprint_df is not None:
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fingerprint_df)
+            .select("fp")
+        )
+        fps = fps.join(ok, "fp")
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fps.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(fps.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias(
+                "jaccard"
+            ),
+        )
+    )

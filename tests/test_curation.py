@@ -175,6 +175,45 @@ def test_winnow_properties(spark):
     assert out[1] == fa and out[2] == fb
 
 
+def test_fingerprint_overlap_pairs(spark):
+    from splade_spark.curation import fingerprint_overlap_pairs
+
+    shared = "a long common paragraph that both documents quote verbatim here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first document intro. {shared} first document outro."),
+            (2, f"totally different framing text. {shared} and another ending."),
+            (3, "independent text with no quoted passage whatsoever in common x"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_a, r.doc_b): (r.shared, r.jaccard)
+        for r in fingerprint_overlap_pairs(docs, min_shared=1).collect()
+    }
+    # the winnowing guarantee: the shared run (≥ w+k-1 chars) must yield ≥1
+    # shared fingerprint for (1,2)
+    assert (1, 2) in rows and rows[(1, 2)][0] >= 1
+    assert 0 < rows[(1, 2)][1] <= 1.0
+    # pandas cross-check: shared count == |winnow(a) ∩ winnow(b)|
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    expect = len(set(winnow(texts[1])) & set(winnow(texts[2])))
+    assert rows[(1, 2)][0] == expect
+    for pair in rows:
+        assert 3 not in pair or rows[pair][0] < expect  # doc 3: no quoted passage
+
+    # df cap drops boilerplate-hot fingerprints before the self-join
+    boiler = "identical boilerplate body shared by every single document here"
+    many = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], ["doc_id", "text"]
+    )
+    capped = fingerprint_overlap_pairs(many, min_shared=1, max_fingerprint_df=3)
+    assert capped.count() == 0  # every fp has df=5 > 3 → nothing to join
+    uncapped = fingerprint_overlap_pairs(many, min_shared=1, max_fingerprint_df=None)
+    assert uncapped.count() == 10  # all C(5,2) pairs, jaccard 1.0
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in uncapped.collect())
+
+
 def test_multimodal_plumbing(spark):
     payloads = [
         (1, "image", bytes(range(256)) * 8, ("image/png", 16, 16, None)),
