@@ -417,6 +417,26 @@ def _q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_refined_topk(spark, sf_dir):
+    """IVF over ONE Lloyd-refined centroid set (dense/ann.py
+    ivf_refine_centroids): the iterative k-means step is replayable because
+    each refinement accumulates integer sums (order-independent) and the new
+    coordinate is one IEEE division of exact integers — DuckDB reproduces
+    the identical centroids, assignments, and top-k."""
+    from splade_spark.dense import ivf_cosine_topk, ivf_refine_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_refine_centroids(emb, dim=64, n_cells=16, iters=1)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_cosine_topk(
+        emb, qs, k=10, n_cells=16, n_probe=4, dim=64, centroids=cents
+    ).select(
+        F.col("query_id").cast("long"), "vec_id", F.col("rank").cast("long").alias("rank"), _e6("score")
+    )
+
+
 def _q_filtered_scan(spark, sf_dir):
     # P1: the reference's corpus rebuild scan — predicate + projection
     # (collection.query(expr="pk != ''", output_fields=["text"]), main.py:46-53)
@@ -464,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_overlap": _q_fingerprint_overlap,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "ivf_refined_topk": _q_ivf_refined_topk,
         "near_dup_clusters": _q_near_dup_clusters,
     }
 
@@ -922,13 +943,53 @@ def _ivf_centroids_values_sql(dim: int, n_cells: int = 16) -> str:
     return f"(VALUES {rows}) AS cents(cell, c)"
 
 
-def _ivf_ann_sql(dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 4) -> str:
+def _ivf_ann_sql(
+    dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 4,
+    refine_iters: int = 0, scale: int = 1 << 20,
+) -> str:
     """IVF ANN replay (dense/ann.py ivf_cosine_topk): nearest-centroid
     assignment (argmax dot over normalized vectors, lowest cell on ties),
-    n_probe closest cells per query, exact cosine inside probed cells."""
-    return f"""WITH cents AS (SELECT * FROM {_ivf_centroids_values_sql(dim, n_cells)}),
+    n_probe closest cells per query, exact cosine inside probed cells.
+
+    ``refine_iters=1`` replays ONE Lloyd step (dense/ann.py
+    ivf_refine_centroids) exactly: integer vote sums per (cell, dim) —
+    order-independent, so Spark's partial aggregation and this single-node
+    SQL agree bit-for-bit — then one double division per coordinate; empty
+    cells keep their seed centroid. Exactness holds while |sum| < 2^53
+    (double conversion lossless), documented engine-side.
+    """
+    if refine_iters == 0:
+        cents_def = "cents AS (SELECT cell, c FROM cents0)"
+    else:
+        assert refine_iters == 1, "SQL replay ships the 1-step refinement"
+        cents_def = f"""a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.c, e.v)
+               / greatest(sqrt(list_dot_product(e.v, e.v)), 1e-300) DESC,
+             c.cell ASC) AS rn
+    FROM e CROSS JOIN cents0 c) u WHERE rn = 1
+),
+dims AS (
+  SELECT a0.cell, ud.d, sum(CAST(round(ud.val * {scale}) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM a0 JOIN (
+    SELECT vec_id, unnest(range({dim})) AS d, unnest(v) AS val FROM e
+  ) ud USING (vec_id)
+  GROUP BY 1, 2
+),
+cnew AS (
+  SELECT cell, list(s / (n * {scale}) ORDER BY d) AS c FROM dims GROUP BY cell
+),
+cents AS (
+  SELECT c0.cell, coalesce(cnew.c, c0.c) AS c
+  FROM cents0 c0 LEFT JOIN cnew USING (cell)
+)"""
+    return f"""WITH cents0 AS (SELECT * FROM {_ivf_centroids_values_sql(dim, n_cells)}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+{cents_def},
 eassign AS (
   SELECT vec_id, cell,
          row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
@@ -1229,5 +1290,6 @@ FROM r WHERE rank <= 10""",
         "fingerprint_overlap": _fingerprint_overlap_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
+        "ivf_refined_topk": _ivf_ann_sql(refine_iters=1),
         "near_dup_clusters": _near_dup_clusters_sql(),
     }

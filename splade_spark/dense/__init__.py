@@ -6,6 +6,7 @@ from splade_spark.dense.ann import (
     embedding_near_dup_pairs,
     ivf_assign,
     ivf_cosine_topk,
+    ivf_refine_centroids,
     lsh_cosine_topk,
     lsh_near_dup_pairs,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "brute_cosine_topk",
     "ivf_assign",
     "ivf_cosine_topk",
+    "ivf_refine_centroids",
     "lsh_cosine_topk",
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",

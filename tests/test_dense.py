@@ -200,3 +200,41 @@ def test_ivf_assign_deterministic_partitioning(spark, embeddings):
     assert a == b and len(a) == embeddings.count()
     assert all(0 <= c < 16 for c in a.values())
     assert len(set(a.values())) > 4  # corpus actually spreads over cells
+
+
+def test_ivf_refine_deterministic_and_balancing(spark, embeddings):
+    """Lloyd refinement: identical under re-partitioning (integer-exact
+    accumulation), improves the worst-case cell balance, and probing every
+    refined cell still equals brute force."""
+    from pyspark.sql import functions as F
+
+    from splade_spark.dense.ann import (
+        brute_cosine_topk, ivf_assign, ivf_cosine_topk, ivf_refine_centroids,
+    )
+
+    c1 = ivf_refine_centroids(embeddings, dim=64, n_cells=16, iters=2)
+    c2 = ivf_refine_centroids(embeddings.repartition(17), dim=64, n_cells=16, iters=2)
+    assert c1 == c2  # bit-identical centroids under a different partitioning
+
+    def min_cell(cents):
+        sizes = [
+            r["n"]
+            for r in ivf_assign(embeddings, 64, centroids=cents)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return min(sizes)
+
+    assert min_cell(c1) > min_cell(None)  # refined layout is more balanced
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    full = ivf_cosine_topk(
+        embeddings, queries, k=10, n_cells=16, n_probe=16, dim=64, centroids=c1
+    )
+    brute = brute_cosine_topk(embeddings, queries, k=10)
+    assert {(r.query_id, r.vec_id, r.rank) for r in full.collect()} == {
+        (r.query_id, r.vec_id, r.rank) for r in brute.collect()
+    }
