@@ -437,6 +437,23 @@ def _q_ivf_refined_topk(spark, sf_dir):
     )
 
 
+def _q_source_cap_sample(spark, sf_dir):
+    from splade_spark.curation import capped_per_key_sample
+
+    out = capped_per_key_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source", cap=5
+    )
+    return out.select("doc_id", "source", F.col("pick").cast("long").alias("pick"))
+
+
+def _q_token_budget_sample(spark, sf_dir):
+    from splade_spark.curation import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir).select("doc_id", "text"), budget_tokens=20000
+    ).select("doc_id", "n_tokens", "cum_tokens")
+
+
 def _q_filtered_scan(spark, sf_dir):
     # P1: the reference's corpus rebuild scan — predicate + projection
     # (collection.query(expr="pk != ''", output_fields=["text"]), main.py:46-53)
@@ -467,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_count": _q_catalog_count,
         "exact_dedup": _q_exact_dedup,
         "streaming_canonicalize": _q_streaming_canonicalize,
+        "source_cap_sample": _q_source_cap_sample,
+        "token_budget_sample": _q_token_budget_sample,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
@@ -1084,6 +1103,32 @@ SELECT query_id::BIGINT AS query_id, term_id,
 SELECT doc_id, md5(text) AS text_md5,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
 FROM documents""",
+        # sampling family (curation/sampling.py): portable-hash order
+        # ('0x'||substr(md5(id||'#7331'),1,8))::BIGINT replays the engine's
+        # portable_hash(cast(doc_id as string), 7331) bit-for-bit
+        "source_cap_sample": """
+SELECT doc_id, source, pick FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7331'), 1, 8))::BIGINT,
+                    doc_id) AS pick
+  FROM documents) u
+WHERE pick <= 5""",
+        "token_budget_sample": f"""
+WITH t AS (
+  SELECT doc_id, len({_words_expr()})::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#7331'), 1, 8))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000""",
         # streaming canonical labeling staged as one deterministic
         # micro-batch ⇒ first-seen == min(doc_id): same oracle as batch
         "streaming_canonicalize": """

@@ -27,6 +27,10 @@ from splade_spark.curation.fingerprint import (
     winnow,
     winnow_fingerprints,
 )
+from splade_spark.curation.sampling import (
+    capped_per_key_sample,
+    token_budget_sample,
+)
 from splade_spark.curation.multimodal import (
     byte_histogram_features,
     decode_image,
@@ -50,6 +54,8 @@ __all__ = [
     "winnow",
     "winnow_fingerprints",
     "fingerprint_overlap_pairs",
+    "capped_per_key_sample",
+    "token_budget_sample",
     "byte_histogram_features",
     "sample_frames",
     "encode_y4m",

@@ -402,3 +402,40 @@ def test_bucket_size_cap(spark):
     kept = cap_bucket_sizes(banded, ["band", "sig"], 3).count()
     assert kept == 4  # size-3 bucket kept at cap=3, size-1 kept
     assert cap_bucket_sizes(banded, ["band", "sig"], 2).count() == 1
+
+
+def test_sampling_ops(spark):
+    from splade_spark.curation.sampling import (
+        capped_per_key_sample, token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word {'tok ' * (i % 7)}", f"site{i % 3}") for i in range(30)],
+        ["doc_id", "text", "source"],
+    )
+    capped = capped_per_key_sample(docs, "source", cap=4)
+    per_key = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 4 for n in per_key.values()) and len(per_key) == 3
+    # deterministic across invocations and layouts
+    a = sorted((r.doc_id, r.pick) for r in capped.collect())
+    b = sorted(
+        (r.doc_id, r.pick)
+        for r in capped_per_key_sample(docs.repartition(7), "source", cap=4).collect()
+    )
+    assert a == b
+
+    # budget prefix: inclusive cum ≤ budget, nested for growing budgets,
+    # equal to a driver-side cumsum over the same total order
+    sample = token_budget_sample(docs, budget_tokens=40, n_partitions=4)
+    rows = sorted(sample.collect(), key=lambda r: r.cum_tokens)
+    assert rows and rows[-1].cum_tokens <= 40
+    cum = 0
+    for r in rows:
+        cum += r.n_tokens
+        assert r.cum_tokens == cum
+    small = {r.doc_id for r in token_budget_sample(docs, 20, n_partitions=4).collect()}
+    big = {r.doc_id for r in sample.collect()}
+    assert small <= big  # nested prefixes
