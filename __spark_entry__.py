@@ -437,6 +437,21 @@ def _q_ivf_refined_topk(spark, sf_dir):
     )
 
 
+def _q_event_window_counts(spark, sf_dir):
+    """streaming/windows.py windowed_event_counts in batch mode — the SAME
+    declarative plan Structured Streaming runs with a watermark (the
+    watermark only activates on a streaming frame), so the batch oracle is
+    an exact replay; late-data/finalization semantics are pinned by
+    tests/test_streaming_dedup.py."""
+    from splade_spark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, "1 hour", "1 hour")
+    return out.select(
+        "window_start", "event_type", "n", _e6("value_sum")
+    )
+
+
 def _q_source_cap_sample(spark, sf_dir):
     from splade_spark.curation import capped_per_key_sample
 
@@ -484,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_count": _q_catalog_count,
         "exact_dedup": _q_exact_dedup,
         "streaming_canonicalize": _q_streaming_canonicalize,
+        "event_window_counts": _q_event_window_counts,
         "source_cap_sample": _q_source_cap_sample,
         "token_budget_sample": _q_token_budget_sample,
         "token_stats": _q_token_stats,
@@ -1103,6 +1119,11 @@ SELECT query_id::BIGINT AS query_id, term_id,
 SELECT doc_id, md5(text) AS text_md5,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
 FROM documents""",
+        "event_window_counts": """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n,
+       CAST(round(sum(value) * 1e6) AS BIGINT) AS value_sum_e6
+FROM events GROUP BY 1, 2""",
         # sampling family (curation/sampling.py): portable-hash order
         # ('0x'||substr(md5(id||'#7331'),1,8))::BIGINT replays the engine's
         # portable_hash(cast(doc_id as string), 7331) bit-for-bit

@@ -110,3 +110,78 @@ def test_stream_exact_dedup(spark, tmp_path):
         r["doc_id"] for r in spark.sql("select * from drop_sink").collect()
     )
     assert kept == [1, 2, 5]
+
+
+def test_windowed_event_counts_watermark(spark, tmp_path):
+    """Append-mode window finalization + late-data handling: a window is
+    emitted once the watermark passes its end; an event older than the
+    watermark is dropped; batch mode over the same rows is the ground truth
+    minus the dropped-late event."""
+    from splade_spark.streaming import windowed_event_counts
+
+    ESCHEMA = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", LongType()),
+        ]
+    )
+    h = lambda m: T0 + dt.timedelta(minutes=m)  # noqa: E731
+    batch1 = [  # events in hour-window [12:00, 13:00)
+        (h(5), "click", 1),
+        (h(10), "click", 2),
+        (h(20), "view", 3),
+    ]
+    # watermark advances at the END of a batch, so the drop needs 3 batches:
+    # batch2's 15:20 event pushes the watermark to 14:20; batch3's 12:15
+    # event then arrives BEHIND it and is discarded. Batch boundaries are
+    # forced by RESTARTING the availableNow query per file against one
+    # checkpoint (the watermark is checkpointed state) — maxFilesPerTrigger
+    # ordering by mtime proved nondeterministic for same-second writes.
+    batch2 = [(h(200), "click", 4)]
+    batch3 = [(h(15), "view", 100)]
+    src = str(tmp_path / "esrc")
+
+    out_dir = str(tmp_path / "win_out")
+
+    def _run_once():
+        # parquet sink: supports checkpoint recovery (memory sink does not)
+        # and accumulates finalized windows across the three restarts
+        stream = spark.readStream.schema(ESCHEMA).parquet(src)
+        q = (
+            windowed_event_counts(stream, "1 hour", "1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, ESCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    _run_once()
+    spark.createDataFrame(batch2, ESCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run_once()
+    spark.createDataFrame(batch3, ESCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run_once()
+    got = {
+        (r.window_start, r.event_type): (r.n, r.value_sum)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    w0 = int(T0.replace(minute=0).timestamp())
+    # the 12:00 window finalized WITHOUT the dropped late 'view' event
+    assert got[(w0, "click")] == (2, 3.0)
+    assert got[(w0, "view")] == (1, 3.0)
+    # the 15:00 window is NOT in append output (watermark hasn't passed it)
+    w15 = int((T0.replace(minute=0) + dt.timedelta(hours=3)).timestamp())
+    assert (w15, "click") not in got
+
+    # batch mode over the ON-TIME rows reproduces the finalized window
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.value_sum)
+        for r in windowed_event_counts(
+            spark.createDataFrame(batch1, ESCHEMA)
+        ).collect()
+    }
+    assert batch[(w0, "click")] == got[(w0, "click")]
+    assert batch[(w0, "view")] == got[(w0, "view")]
