@@ -452,6 +452,19 @@ def _q_event_window_counts(spark, sf_dir):
     )
 
 
+def _q_event_sessions(spark, sf_dir):
+    """streaming/windows.py sessionize_events in batch mode — Spark's native
+    F.session_window vs the classic gaps-and-islands SQL (lag → break flag →
+    running count → group), at full microsecond precision."""
+    from splade_spark.streaming import sessionize_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_events(ev, gap="5 minutes")
+    return out.select(
+        "user_id", "session_start", "session_end", "n", _e6("value_sum")
+    )
+
+
 def _q_source_cap_sample(spark, sf_dir):
     from splade_spark.curation import capped_per_key_sample
 
@@ -500,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "streaming_canonicalize": _q_streaming_canonicalize,
         "event_window_counts": _q_event_window_counts,
+        "event_sessions": _q_event_sessions,
         "source_cap_sample": _q_source_cap_sample,
         "token_budget_sample": _q_token_budget_sample,
         "token_stats": _q_token_stats,
@@ -1124,6 +1138,31 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
        event_type, count(*)::BIGINT AS n,
        CAST(round(sum(value) * 1e6) AS BIGINT) AS value_sum_e6
 FROM events GROUP BY 1, 2""",
+        # session windows: gaps-and-islands at MICROSECOND precision (the
+        # fixture carries sub-second ts); session_end = last event + gap,
+        # both floored to seconds exactly like timestampdiff(SECOND)
+        "event_sessions": """
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+s AS (
+  -- STRICT inequality: Spark's session_window merges an event landing
+  -- exactly at the previous session's end (adjacency merges)
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 300000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, (min(us) // 1000000)::BIGINT AS session_start,
+       ((max(us) + 300000000) // 1000000)::BIGINT AS session_end,
+       count(*)::BIGINT AS n,
+       CAST(round(sum(value) * 1e6) AS BIGINT) AS value_sum_e6
+FROM g GROUP BY user_id, sid""",
         # sampling family (curation/sampling.py): portable-hash order
         # ('0x'||substr(md5(id||'#7331'),1,8))::BIGINT replays the engine's
         # portable_hash(cast(doc_id as string), 7331) bit-for-bit

@@ -23,6 +23,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """events(ts, user_id, value) → one row per user session:
+    (user_id, session_start long, session_end long, n long, value_sum).
+
+    SESSION windows — the variable-length case tumbling windows can't
+    express: consecutive events of a user belong to one session while their
+    gaps stay below ``gap``; the window's extent is data-dependent.
+    ``F.session_window`` is Spark's native stateful implementation (state
+    merges adjacent windows as events arrive; on streams the watermark
+    finalizes a session once no mergeable event can still come). Batch mode
+    runs the same plan — replayed exactly by the classic gaps-and-islands
+    SQL (lag → new-session flag → running count → group), which is the
+    oracle. ``session_end`` is last_event + gap (Spark's convention: the
+    window closes when the gap expires, not at the last event).
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(time_col, watermark_delay)
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return (
+        src.groupBy(
+            F.session_window(F.col(time_col), gap).alias("w"),
+            F.col(key_col).alias("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col)).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"timestampdiff(SECOND, {epoch}, w.start)")
+            .cast("long")
+            .alias("session_start"),
+            F.expr(f"timestampdiff(SECOND, {epoch}, w.end)")
+            .cast("long")
+            .alias("session_end"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

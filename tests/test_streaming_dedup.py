@@ -185,3 +185,42 @@ def test_windowed_event_counts_watermark(spark, tmp_path):
     }
     assert batch[(w0, "click")] == got[(w0, "click")]
     assert batch[(w0, "view")] == got[(w0, "view")]
+
+
+def test_sessionize_events_batch(spark):
+    """Hand-built session structure: gap merging, boundary at exactly the
+    gap, per-user isolation, session_end = last event + gap."""
+    from splade_spark.streaming import sessionize_events
+
+    ESCHEMA = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", LongType()),
+        ]
+    )
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)  # noqa: E731
+    rows = [
+        # user 1: events at 0, 4, 8 chain (gaps < 5 min); the event at 13 is
+        # EXACTLY 5 min after 8 — adjacency MERGES in Spark's session_window
+        # (strict > breaks); the event at 19 (gap 6 min) starts a new session
+        (m(0), 1, 10),
+        (m(4), 1, 20),
+        (m(8), 1, 30),
+        (m(13), 1, 40),
+        (m(19), 1, 50),
+        # user 2: one lone event — its own session
+        (m(2), 2, 5),
+    ]
+    out = {
+        (r.user_id, r.session_start): (r.session_end, r.n, r.value_sum)
+        for r in sessionize_events(
+            spark.createDataFrame(rows, ESCHEMA), gap="5 minutes"
+        ).collect()
+    }
+    e = lambda mins: int((T0 + dt.timedelta(minutes=mins)).timestamp())  # noqa: E731
+    assert out == {
+        (1, e(0)): (e(18), 4, 100),  # closes 5 min after last event (13+5)
+        (1, e(19)): (e(24), 1, 50),
+        (2, e(2)): (e(7), 1, 5),
+    }
