@@ -182,6 +182,47 @@ def main() -> None:
             },
         )
 
+        # 8) InteractiveSession single-query plan: literal-injected weights
+        # mean NO broadcast exchange and NO UDF/dictionary-join stage — just
+        # the cached-postings filter, one partial-agg exchange, and a
+        # TakeOrderedAndProject. This plan shape IS the 1.5 s → 0.28 s p95
+        # win; regressing it silently would bring the joins back.
+        from splade_spark.query.session import InteractiveSession, prepare_postings
+
+        prepped = prepare_postings(frames.postings, 4)
+        prepped.count()
+        with InteractiveSession(prepped, frames.dictionary, NOSTEM) as sess:
+            qtext = " ".join(
+                r["term"] for r in frames.dictionary.select("term").head(3)
+            )
+            qplan = sess.plan(qtext, k=5)
+            assert qplan is not None, "audit query fully OOV"
+            full = _plan(qplan)
+            # the formatted plan embeds the cached relation's CHILD lineage
+            # (the whole build pipeline, with its own UDFs/broadcasts) under
+            # the InMemoryTableScan — the query's OWN operators are the part
+            # above it, so forbidden-shape checks apply to that prefix only
+            above_cache = full.split("InMemoryTableScan")[0]
+            check(
+                "interactive session query",
+                full,
+                {
+                    "top-k without global sort": r"TakeOrderedAndProject",
+                    "reads the prepared cache": r"InMemoryTableScan|Scan In-memory",
+                    "partial aggregation": r"HashAggregate[\s\S]*HashAggregate",
+                },
+            )
+            check(
+                "interactive session query (above cache)",
+                above_cache,
+                {},
+                forbidden={
+                    "no broadcast (weights are literals)": r"BroadcastExchange",
+                    "no python udf stage": r"BatchEvalPython|ArrowEvalPython",
+                },
+            )
+        prepped.unpersist()
+
     print("\n" + ("ALL CHECKS PASSED" if not failures else f"FAILURES: {failures}"))
     spark.stop()
     sys.exit(1 if failures else 0)
