@@ -136,12 +136,20 @@ def _q_bm25_session_topk_k5(spark, sf_dir):
     from splade_spark.fixtures import FROZEN_QUERIES
     from splade_spark.query.session import InteractiveSession
 
+    import math
+
+    # repo rounding convention = Spark F.round / DuckDB round: HALF AWAY
+    # FROM ZERO. Python's round() is banker's (half-to-even) — an exact .5
+    # at 1e-6 scale would flake the hash gate (ADVICE r4).
+    def _e6_py(x: float) -> int:
+        return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
     frames = _frames(spark, sf_dir)
     rows = []
     with InteractiveSession(frames.postings, frames.dictionary, NOSTEM) as sess:
         for qid, text in FROZEN_QUERIES:
             for doc_id, score, rank in sess.search(text, k=5):
-                rows.append((qid, doc_id, rank, int(round(score * 1e6))))
+                rows.append((qid, doc_id, rank, _e6_py(score)))
     return spark.createDataFrame(
         rows, "query_id long, doc_id long, rank long, score_e6 long"
     )

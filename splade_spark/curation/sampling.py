@@ -13,13 +13,19 @@ Two ops a crawl-curation pipeline runs after dedup/quality filtering:
   tokens of this corpus, reproducibly"). The global running sum is computed
   as a DISTRIBUTED PREFIX SCAN, not a single-partition window: a global
   ``Window.orderBy`` without partition keys pulls every row into ONE task —
-  the canonical Spark scale trap — so instead the relation is range-
-  partitioned on the order key, pass 1 aggregates one total per partition
-  (bounded collect: n_partitions rows), and pass 2 adds the broadcast
-  exclusive-prefix offset to each partition's local cumulative sum. The
-  result equals the single-window cumsum exactly (the order is a global
-  total order; integer sums are associative), which is what the DuckDB
-  oracle computes.
+  the canonical Spark scale trap — so instead each row's scan bucket is
+  derived FROM THE ORDER KEY ITSELF (``portable_hash`` is uniform on
+  [0, 2^32), so ``(_h · n) div 2^32`` is a contiguous, balanced range
+  bucketing that is a pure function of the row), per-bucket totals become
+  exclusive-prefix offsets via a window over the tiny n-row totals frame,
+  and a broadcast join adds each bucket's offset to its local cumulative
+  sum. ONE lazy DAG — no cache, no driver collect, no requirement that two
+  jobs observe the same materialization (the r4 driver-gate flake:
+  ``spark_partition_id`` over a sampled range partitioning + ``.cache()``
+  could silently mis-offset on recompute; a value-derived bucket cannot).
+  The result equals the single-window cumsum exactly (the order is a
+  global total order; integer sums are associative), which is what the
+  DuckDB oracle computes.
 
 Prefix semantics: a doc is kept iff its INCLUSIVE cumulative count is
 ≤ budget — the first doc that crosses the budget is dropped and so is
@@ -62,68 +68,65 @@ def capped_per_key_sample(
     )
 
 
+# portable_hash = first 8 hex chars of md5 → uniform on [0, 2^32)
+_HASH_DOMAIN = 1 << 32
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """→ (doc_id, n_tokens, cum_tokens): hash-ordered prefix with
     Σ n_tokens ≤ budget_tokens. ``n_tokens`` is the analyzer word count
     (same regex as ``token_stats.word_tokens``).
 
-    Distributed prefix scan (see module docstring): range-partition on the
-    order key, per-partition totals (ONE bounded collect of ``n_partitions``
-    longs), broadcast exclusive offsets, local cumsum windows. The
-    partitioning layout is an execution detail — any boundaries give the
-    same global cumsum — but the two passes must see ONE materialization,
-    so the ranged relation is cached for the scan and unpersisted after.
+    Distributed prefix scan (see module docstring), structurally consistent:
+    the scan bucket ``_pid = (_h · n) div 2^32`` is a deterministic function
+    of the order hash, so bucket membership, per-bucket totals, and the
+    local cumsum all agree under ANY partitioning, recomputation, or cache
+    eviction — the whole scan is one lazy DAG (per-bucket totals → n-row
+    exclusive-prefix window → broadcast join → per-bucket cumsum windows).
+    The bucket count is an execution knob only (any value gives the same
+    cum_tokens); ``n_partitions=None`` derives it from the data — the
+    input's scan partitioning, floored at the cluster's default parallelism
+    — so the scan widens with the corpus instead of pinning at 32. The
+    input is traversed twice (totals pass + cumsum pass); both traversals
+    are correct independently, so callers may optionally persist ``docs``
+    upstream purely as an I/O optimization, never for correctness.
     """
+    if n_partitions is None:
+        sc = docs.sparkSession.sparkContext
+        n_partitions = max(sc.defaultParallelism, docs.rdd.getNumPartitions())
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
         ).cast("long").alias("n_tokens"),
         _order_hash(id_col).alias("_h"),
+    ).withColumn(
+        # contiguous range bucket over the order key, pure function of _h:
+        # _h < 2^32 and n_partitions is int, so the product stays in int64
+        # (integer `div`, never float division — 2^32·n exceeds 2^53 fast)
+        "_pid",
+        F.expr(f"_h * {int(n_partitions)} div {_HASH_DOMAIN}").cast("int"),
     )
-    ranged = (
-        base.repartitionByRange(n_partitions, "_h", "doc_id")
-        .sortWithinPartitions("_h", "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
+    # n_partitions-row frame: the no-partition window is bounded by
+    # construction (one row per bucket), not by data volume
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .select("_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"))
     )
-    try:
-        totals = {
-            r["_pid"]: r["_t"]
-            for r in ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
-        }
-        offsets = {}
-        acc = 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += totals[pid]
-        offset_expr = F.coalesce(
-            F.element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in offsets.items() for x in kv]
-                ),
-                F.col("_pid"),
-            ),
-            F.lit(0),
-        ) if offsets else F.lit(0)
-        local = Window.partitionBy("_pid").orderBy("_h", "doc_id").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        out = (
-            ranged.withColumn(
-                "cum_tokens", F.sum("n_tokens").over(local) + offset_expr
-            )
-            .filter(F.col("cum_tokens") <= budget_tokens)
-            .select("doc_id", "n_tokens", "cum_tokens")
-        )
-        # materialize before unpersisting the scan input
-        out = out.localCheckpoint(eager=True)
-    finally:
-        ranged.unpersist()
-    return out
+    local = Window.partitionBy("_pid").orderBy("_h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        base.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(local) + F.col("_off"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

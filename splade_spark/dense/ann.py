@@ -244,7 +244,18 @@ def ivf_refine_centroids(
     cells are bigger than that.
     """
     cents = _initial_centroids(dim, n_cells)
-    e = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # Non-finite vectors make array_max NaN → array_position 0 → cell -1,
+    # which would silently corrupt the LAST centroid via Python negative
+    # indexing below (ADVICE r4). Drop them here; the belt-and-braces
+    # assert guards the collected rows too.
+    e = embeddings.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(
+        F.forall(
+            "v",
+            lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+        )
+    )
     for _ in range(iters):
         lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in cents])
         scored = F.transform(
@@ -262,6 +273,10 @@ def ivf_refine_centroids(
         )
         new_cents = [list(row) for row in cents]  # empty cells keep previous
         for r in rows:
+            assert r["cell"] is not None and 0 <= r["cell"] < n_cells, (
+                f"non-finite embedding leaked into the assignment pass "
+                f"(cell={r['cell']})"
+            )
             new_cents[r["cell"]][r["d"]] = r["s"] / (r["n"] * scale)
         cents = new_cents
     return cents

@@ -81,15 +81,14 @@ class InteractiveSession:
         tune_conf: bool = True,
         prepare: bool = False,
         n_partitions: int = 32,
+        max_literal_terms: int = 96,
     ):
         self.cfg = cfg
+        self.max_literal_terms = max_literal_terms
         self._prepared = None
-        if prepare:
-            postings = prepare_postings(postings, n_partitions)
-            postings.count()  # materialize the seekable cache up front
-            self._prepared = postings
-        self.postings = postings
         self._spark = postings.sparkSession
+        # guard BEFORE any persistent side effect (prepared cache, conf
+        # tuning): a refused vocabulary must leave the session untouched
         n_terms = dictionary.count()
         if n_terms > max_terms:
             raise ValueError(
@@ -97,10 +96,26 @@ class InteractiveSession:
                 "collecting it would strain the driver — use topk_naive/WAND "
                 "(broadcast query side) or raise max_terms deliberately"
             )
-        self.vocab = {
-            r["term"]: (r["term_id"], r["idf"])
-            for r in dictionary.select("term", "term_id", "idf").collect()
-        }
+        if prepare:
+            prepared = prepare_postings(postings, n_partitions)
+            try:
+                prepared.count()  # materialize the seekable cache up front
+            except Exception:
+                prepared.unpersist()
+                raise
+            self._prepared = prepared
+            postings = prepared
+        try:
+            self.postings = postings
+            self.vocab = {
+                r["term"]: (r["term_id"], r["idf"])
+                for r in dictionary.select("term", "term_id", "idf").collect()
+            }
+        except Exception:
+            if self._prepared is not None:
+                self._prepared.unpersist()
+                self._prepared = None
+            raise
         self._saved_conf: dict[str, str | None] = {}
         if tune_conf:
             for key, val in self._TUNED.items():
@@ -120,25 +135,44 @@ class InteractiveSession:
         return weights
 
     def plan(self, text: str, k: int | None = None) -> DataFrame | None:
-        """Lazy top-k DataFrame for one query (None if fully OOV)."""
+        """Lazy top-k DataFrame for one query (None if fully OOV).
+
+        Two weight-injection shapes by query width: up to
+        ``max_literal_terms`` distinct in-vocab terms, weights become a
+        literal CASE chain (zero extra exchange — the usual interactive
+        query). Wider queries (SPLADE expansions, pasted paragraphs) would
+        build a pathologically deep nested-CASE/isin expression, so they
+        fall back to a broadcast-joined weights DataFrame — one tiny
+        broadcast, same filter + two-stage agg plan, rank-identical output.
+        """
         weights = self.encode(text)
         if not weights:
             return None
-        qweight = None
-        for tid, wt in weights.items():
-            branch = (F.col("term_id") == tid, F.lit(float(wt)))
-            qweight = (
-                F.when(*branch) if qweight is None else qweight.when(*branch)
+        if len(weights) > self.max_literal_terms:
+            qdf = self._spark.createDataFrame(
+                [(int(t), float(w)) for t, w in weights.items()],
+                "term_id long, _qw double",
             )
-        return (
-            self.postings.filter(F.col("term_id").isin(list(weights)))
-            .groupBy("doc_id")
-            .agg(F.sum(qweight * F.col("impact")).alias("score"))
-            .orderBy(
-                F.round("score", SCORE_DECIMALS).desc(), F.col("doc_id").asc()
+            scored = (
+                self.postings.join(F.broadcast(qdf), "term_id")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("_qw") * F.col("impact")).alias("score"))
             )
-            .limit(k if k is not None else self.cfg.top_k)
-        )
+        else:
+            qweight = None
+            for tid, wt in weights.items():
+                branch = (F.col("term_id") == tid, F.lit(float(wt)))
+                qweight = (
+                    F.when(*branch) if qweight is None else qweight.when(*branch)
+                )
+            scored = (
+                self.postings.filter(F.col("term_id").isin(list(weights)))
+                .groupBy("doc_id")
+                .agg(F.sum(qweight * F.col("impact")).alias("score"))
+            )
+        return scored.orderBy(
+            F.round("score", SCORE_DECIMALS).desc(), F.col("doc_id").asc()
+        ).limit(k if k is not None else self.cfg.top_k)
 
     def search(self, text: str, k: int | None = None) -> list[tuple[int, float, int]]:
         """→ [(doc_id, score, rank)] under the frozen tie-break."""

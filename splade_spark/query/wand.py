@@ -283,7 +283,10 @@ def topk_wand_batch(
     parallelism ≤ number of segments. That is the right shape at production
     scale (segments number in the thousands+ since each holds ≤
     segment_max_docs docs); on a few-segment bench index prefer topk_wand,
-    whose (query × segment) grouping stays wide.
+    whose (query × segment) grouping stays wide. ``topk_wand_auto`` encodes
+    exactly this rule and is the SUPPORTED batch entry point — call this
+    function directly only when you know the segment count exceeds the
+    cluster parallelism.
     """
     k = k if k is not None else cfg.top_k
     spark = blocks.sparkSession

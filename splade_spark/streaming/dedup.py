@@ -77,7 +77,7 @@ _CANON_OUT = StructType(
 _CANON_STATE = StructType([StructField("canonical_id", LongType())])
 
 
-def _canonicalize_group_fn(state_timeout_ms: int | None):
+def _canonicalize_group_fn(state_timeout_ms: int | None, event_time: bool = False):
     def _canonicalize_group(
         key: Tuple[str],
         pdfs: Iterator[pd.DataFrame],
@@ -88,21 +88,38 @@ def _canonicalize_group_fn(state_timeout_ms: int | None):
             state.remove()
             return
         (canonical_id,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            # arrival order within the batch: event time then doc_id (ties)
-            pdf = pdf.sort_values(["warc_ts", "doc_id"], kind="stable")
+        # Materialize ALL Arrow chunks before choosing the canonical: a
+        # digest group larger than the Arrow batch size arrives as several
+        # chunks, and the global (warc_ts, doc_id)-min may sit in a later
+        # one — a per-chunk choice would be nondeterministic (chunk order is
+        # an execution detail). Group size = duplicate count for ONE digest
+        # within one micro-batch: bounded in practice, and the concat cost
+        # is the group itself, not the batch.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        last_seen_ms = None
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["warc_ts", "doc_id"], kind="stable"
+            )
             if canonical_id is None:
                 canonical_id = int(pdf.iloc[0]["doc_id"])
             out = pdf[["doc_id", "text_md5", "warc_ts"]].copy()
             out["canonical_id"] = canonical_id
             out["is_first"] = out["doc_id"] == canonical_id
             yield out[["doc_id", "text_md5", "canonical_id", "is_first", "warc_ts"]]
+            if event_time:
+                last_seen_ms = int(pdf["warc_ts"].max().timestamp() * 1000)
         if canonical_id is not None:
             state.update((canonical_id,))
             if state_timeout_ms is not None:
-                state.setTimeoutDuration(state_timeout_ms)
+                if event_time:
+                    if last_seen_ms is not None:
+                        # expire when the WATERMARK passes last-seen +
+                        # horizon — trigger-cadence-independent, the
+                        # bounded-state rule for a continuous crawl stream
+                        state.setTimeoutTimestamp(last_seen_ms + state_timeout_ms)
+                else:
+                    state.setTimeoutDuration(state_timeout_ms)
 
     return _canonicalize_group
 
@@ -113,6 +130,8 @@ def stream_canonicalize(
     id_col: str = "doc_id",
     time_col: str = "warc_ts",
     state_timeout_hours: float | None = None,
+    timeout_mode: str = "processing",
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """stream(id, text, ts) → (doc_id, text_md5, canonical_id, is_first, ts).
 
@@ -121,30 +140,48 @@ def stream_canonicalize(
     and each group holds ONE long — no growth with duplicate count.
 
     ``state_timeout_hours`` reclaims state for digests idle past the horizon
-    (the bounded-state trade, in processing time). Default OFF: a pending
-    processing-time timeout keeps the micro-batch engine scheduling empty
-    batches to service it, so a ``trigger(availableNow=True)`` run would spin
-    until ``awaitTermination`` instead of terminating after the data —
-    measured: 155 empty epochs in 2 min. Set it ONLY on a genuinely
-    long-running stream (continuous trigger), where the periodic empty
-    batches are the mechanism that fires expiry.
+    (the bounded-state trade). Two expiry clocks:
+
+    * ``timeout_mode="event"`` — RECOMMENDED for a true long-running crawl
+      stream: a watermark (``watermark_delay`` behind max event time) is
+      applied to ``time_col``, and a digest's state expires once the
+      watermark passes its last-seen time + horizon. Data-time-driven —
+      independent of trigger cadence, exactly how the engine bounds its own
+      dropDuplicatesWithinWatermark state. A re-crawl arriving after expiry
+      starts a new canonical group (same trade as ``stream_exact_dedup``).
+    * ``timeout_mode="processing"`` — wall-clock idle expiry. Default horizon
+      OFF: a pending processing-time timeout keeps the micro-batch engine
+      scheduling empty batches to service it, so a
+      ``trigger(availableNow=True)`` run would spin until ``awaitTermination``
+      instead of terminating after the data — measured: 155 empty epochs in
+      2 min. Set it ONLY on a continuous trigger, where the periodic empty
+      batches are the mechanism that fires expiry.
     """
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(f"timeout_mode must be 'processing' or 'event', got {timeout_mode!r}")
+    event = timeout_mode == "event"
+    if event and state_timeout_hours is None:
+        raise ValueError("timeout_mode='event' requires state_timeout_hours")
     prepped = docs_stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.col(text_col)).alias("text_md5"),
         F.col(time_col).alias("warc_ts"),
     )
+    if event:
+        prepped = prepped.withWatermark("warc_ts", watermark_delay)
     timeout_ms = (
         None if state_timeout_hours is None else int(state_timeout_hours * 3600 * 1000)
     )
+    if event:
+        conf = GroupStateTimeout.EventTimeTimeout
+    elif timeout_ms is not None:
+        conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        conf = GroupStateTimeout.NoTimeout
     return prepped.groupBy("text_md5").applyInPandasWithState(
-        _canonicalize_group_fn(timeout_ms),
+        _canonicalize_group_fn(timeout_ms, event_time=event),
         outputStructType=_CANON_OUT,
         stateStructType=_CANON_STATE,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if timeout_ms is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=conf,
     )

@@ -439,3 +439,22 @@ def test_sampling_ops(spark):
     small = {r.doc_id for r in token_budget_sample(docs, 20, n_partitions=4).collect()}
     big = {r.doc_id for r in sample.collect()}
     assert small <= big  # nested prefixes
+
+    # STRUCTURAL consistency (the r4 driver flake): cum_tokens must be a
+    # pure function of the data — identical under any bucket count, any
+    # physical input layout, and plan re-execution (each .collect() below
+    # recomputes the full DAG from scratch; there is no cached state whose
+    # loss could shift offsets, unlike the r4 spark_partition_id protocol)
+    ref = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(docs, 40, n_partitions=1).collect()
+    )
+    for variant in (
+        token_budget_sample(docs, 40, n_partitions=7),
+        token_budget_sample(docs.repartition(11), 40, n_partitions=4),
+        token_budget_sample(docs.coalesce(1), 40, n_partitions=4),
+        token_budget_sample(docs, 40),  # data-derived default bucket count
+    ):
+        got = sorted((r.doc_id, r.n_tokens, r.cum_tokens) for r in variant.collect())
+        assert got == ref
+        assert got == sorted((r.doc_id, r.n_tokens, r.cum_tokens) for r in variant.collect())

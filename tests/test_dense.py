@@ -238,3 +238,27 @@ def test_ivf_refine_deterministic_and_balancing(spark, embeddings):
     assert {(r.query_id, r.vec_id, r.rank) for r in full.collect()} == {
         (r.query_id, r.vec_id, r.rank) for r in brute.collect()
     }
+
+
+def test_ivf_refine_nonfinite_vectors_ignored(spark, embeddings):
+    """A NaN/Inf embedding must not corrupt a centroid (ADVICE r4: cell -1
+    negative indexing): refinement over the corpus + poisoned rows equals
+    refinement over the clean corpus."""
+    from pyspark.sql import functions as F
+
+    from splade_spark.dense.ann import ivf_refine_centroids
+
+    dim = 64
+    poisoned = embeddings.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [
+                (90001, [float("nan")] * dim),
+                (90002, [float("inf")] + [0.0] * (dim - 1)),
+                (90003, [None] + [0.0] * (dim - 1)),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    clean = ivf_refine_centroids(embeddings, dim=dim, n_cells=16, iters=1)
+    dirty = ivf_refine_centroids(poisoned, dim=dim, n_cells=16, iters=1)
+    assert clean == dirty

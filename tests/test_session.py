@@ -52,6 +52,49 @@ def test_prepared_rank_identical(spark, frames):
             assert a == b, text
 
 
+def test_wide_query_broadcast_fallback(spark):
+    """A 500-distinct-term query (SPLADE expansion / pasted paragraph) must
+    not build a 500-deep nested CASE: above ``max_literal_terms`` the plan
+    switches to a broadcast-joined weights frame — rank- AND score-identical
+    to the literal path (VERDICT r4 #8)."""
+    vocab = [f"w{i:03d}" for i in range(500)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(vocab[(i * 37 + j) % 500] for j in range(40)))
+            for i in range(60)
+        ],
+        ["doc_id", "text"],
+    )
+    fr = build_index_from_docs(docs, NOSTEM)
+    fr.postings.cache().count()
+    wide_query = " ".join(vocab)  # 500 distinct in-vocab terms
+    with InteractiveSession(
+        fr.postings, fr.dictionary, NOSTEM, max_literal_terms=96
+    ) as fallback, InteractiveSession(
+        fr.postings, fr.dictionary, NOSTEM, max_literal_terms=10_000
+    ) as literal:
+        assert len(fallback.encode(wide_query)) == 500
+        a = [(d, round(s, 6), r) for d, s, r in fallback.search(wide_query, k=10)]
+        b = [(d, round(s, 6), r) for d, s, r in literal.search(wide_query, k=10)]
+        assert a == b and len(a) == 10
+        # narrow queries still take the literal path in both sessions
+        narrow = " ".join(vocab[:5])
+        assert fallback.search(narrow, k=5) == literal.search(narrow, k=5)
+    fr.postings.unpersist()
+
+
+def test_guard_raises_before_side_effects(spark, frames):
+    """max_terms refusal must leave no prepared cache and no tuned confs."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    n_cached = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    with pytest.raises(ValueError, match="max_terms"):
+        InteractiveSession(
+            frames.postings, frames.dictionary, NOSTEM, max_terms=1, prepare=True
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]) == n_cached
+
+
 def test_oov_query_empty(frames):
     with InteractiveSession(frames.postings, frames.dictionary, NOSTEM) as sess:
         assert sess.search("zzzqqqxxx notinvocabulary") == []
