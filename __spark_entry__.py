@@ -490,6 +490,35 @@ def _q_token_budget_sample(spark, sf_dir):
     ).select("doc_id", "n_tokens", "cum_tokens")
 
 
+# training-mix weights for the mixture_sample entry — quotas are fixed
+# driver-side (int(w/Σw · total)) and inlined as literals in BOTH the Spark
+# plan and the oracle CASE, so no float arithmetic crosses the boundary
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TOTAL = 40
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Training-mix sampler: per-source quotas ⌊w_k·total⌋ filled with each
+    source's portable-hash-ordered prefix (curation/sampling.py
+    mixture_sample) — one WindowGroupLimit plan, quota literals."""
+    from splade_spark.curation import mixture_sample
+
+    out = mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        _MIX_WEIGHTS,
+        _MIX_TOTAL,
+    )
+    return out.select("doc_id", "source", F.col("pick").cast("long").alias("pick"))
+
+
+def _q_uniform_sample(spark, sf_dir):
+    """Deterministic exact-n uniform sample: global top-100 by portable
+    hash, TakeOrderedAndProject plan (per-partition heaps, no global sort)."""
+    from splade_spark.curation import uniform_sample
+
+    return uniform_sample(_docs(spark, sf_dir).select("doc_id", "source"), 100)
+
+
 def _q_filtered_scan(spark, sf_dir):
     # P1: the reference's corpus rebuild scan — predicate + projection
     # (collection.query(expr="pk != ''", output_fields=["text"]), main.py:46-53)
@@ -524,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "source_cap_sample": _q_source_cap_sample,
         "token_budget_sample": _q_token_budget_sample,
+        "mixture_sample": _q_mixture_sample,
+        "uniform_sample": _q_uniform_sample,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
@@ -1183,6 +1214,25 @@ SELECT doc_id, source, pick FROM (
                     doc_id) AS pick
   FROM documents) u
 WHERE pick <= 5""",
+        # quotas below are the SAME ints the Spark entry fixes driver-side
+        # (int(w/Σw·total) over _MIX_WEIGHTS/_MIX_TOTAL) — computed once in
+        # Python, inlined as literals on both sides
+        "mixture_sample": f"""
+SELECT doc_id, source, pick FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7331'), 1, 8))::BIGINT,
+                    doc_id) AS pick
+  FROM documents
+  WHERE source IN ({", ".join(f"'{k}'" for k in _MIX_WEIGHTS)})) u
+WHERE pick <= CASE source {" ".join(
+    f"WHEN '{k}' THEN {int(w / sum(_MIX_WEIGHTS.values()) * _MIX_TOTAL)}"
+    for k, w in _MIX_WEIGHTS.items())} END""",
+        "uniform_sample": """
+SELECT doc_id, source FROM documents
+ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7331'), 1, 8))::BIGINT, doc_id
+LIMIT 100""",
         "token_budget_sample": f"""
 WITH t AS (
   SELECT doc_id, len({_words_expr()})::BIGINT AS n_tokens,

@@ -10,6 +10,9 @@ Checks:
   * tf/df aggregations are partial (two HashAggregate levels)
   * column math stages run inside WholeStageCodegen
   * top-k compiles to TakeOrderedAndProject (no global sort)
+  * sampling plans: uniform sample = TakeOrderedAndProject, mixture sample =
+    WindowGroupLimit, token-budget scan = broadcast offsets join with NO
+    spark_partition_id anywhere in the plan
 
 Exit code 1 if an expected property is missing.
 """
@@ -222,6 +225,35 @@ def main() -> None:
                 },
             )
         prepped.unpersist()
+
+        # 9) sampling plans (curation/sampling.py): the shapes that make the
+        # family deterministic AND scale-safe — exact-n via per-partition
+        # heaps, per-key quotas via WindowGroupLimit, and a prefix scan whose
+        # bucket is a pure function of the data (NO spark_partition_id: that
+        # was the r4 driver-gate flake)
+        from splade_spark.curation.sampling import (
+            mixture_sample, token_budget_sample, uniform_sample,
+        )
+
+        sdocs = docs.withColumn("source", (F.col("doc_id") % 5).cast("string"))
+        check(
+            "uniform sample",
+            _plan(uniform_sample(docs, 10)),
+            {"top-n heaps, no global sort": r"TakeOrderedAndProject"},
+        )
+        check(
+            "mixture sample",
+            _plan(mixture_sample(sdocs, {"0": 0.5, "1": 0.5}, 10)),
+            {"per-key rank prunes in the sort": r"WindowGroupLimit"},
+        )
+        check(
+            "token-budget prefix scan",
+            _plan(token_budget_sample(docs, 1000, n_partitions=4)),
+            {"offsets broadcast back": r"BroadcastHashJoin|BroadcastNestedLoopJoin"},
+            forbidden={
+                "no physical-partition-id dependence": r"(?i)spark_partition_id",
+            },
+        )
 
     print("\n" + ("ALL CHECKS PASSED" if not failures else f"FAILURES: {failures}"))
     spark.stop()

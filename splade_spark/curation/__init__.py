@@ -29,7 +29,9 @@ from splade_spark.curation.fingerprint import (
 )
 from splade_spark.curation.sampling import (
     capped_per_key_sample,
+    mixture_sample,
     token_budget_sample,
+    uniform_sample,
 )
 from splade_spark.curation.multimodal import (
     byte_histogram_features,
@@ -55,7 +57,9 @@ __all__ = [
     "winnow_fingerprints",
     "fingerprint_overlap_pairs",
     "capped_per_key_sample",
+    "mixture_sample",
     "token_budget_sample",
+    "uniform_sample",
     "byte_histogram_features",
     "sample_frames",
     "encode_y4m",

@@ -8,6 +8,21 @@ Two ops a crawl-curation pipeline runs after dedup/quality filtering:
   (+ doc_id tie-break), so the choice is a pure function of the data —
   reshuffling, re-running, or replaying in SQL picks the same docs.
 
+* ``mixture_sample`` — the training-mix op: given target source proportions
+  (e.g. web 0.6 / books 0.3 / code 0.1), allocate ⌊w_k·total⌋ slots per
+  source and fill each with that source's hash-ordered prefix. Quotas are
+  computed driver-side from the (tiny, caller-supplied) weight table and
+  injected as literals, so the whole plan is one per-key window — the same
+  WindowGroupLimit shape as ``capped_per_key_sample``. A source smaller
+  than its quota contributes everything it has (the standard
+  undersized-source behavior; re-normalize weights upstream if exact
+  proportions matter more than coverage).
+
+* ``uniform_sample`` — deterministic exact-n corpus sample: global top-n by
+  the order hash. Compiles to TakeOrderedAndProject (per-partition heaps of
+  n, one tiny merge) — no global sort, no single-partition window; scale
+  cost is O(n) driver memory only at collect time, the plan itself streams.
+
 * ``token_budget_sample`` — take the deterministic hash-ordered PREFIX of
   the corpus whose cumulative token count fits a budget ("give me ~1B
   tokens of this corpus, reproducibly"). The global running sum is computed
@@ -66,6 +81,55 @@ def capped_per_key_sample(
         docs.withColumn("pick", F.row_number().over(w))
         .filter(F.col("pick") <= cap)
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ input rows + ``pick`` for the per-source training mix: source k
+    keeps its first ⌊(w_k/Σw)·total⌋ docs in portable-hash order. Sources
+    absent from ``weights`` are dropped; a quota of 0 drops the source.
+
+    Quotas are integers fixed on the driver BEFORE the plan is built (the
+    weight table is caller-supplied config, not data), so Spark and any SQL
+    replay agree exactly — no float arithmetic crosses the engine boundary.
+    """
+    s = sum(weights.values())
+    if s <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    quotas = {k: int(w / s * total) for k, w in weights.items()}
+    quota_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv]),
+        F.col(key_col),
+    )
+    w = Window.partitionBy(key_col).orderBy(_order_hash(id_col), F.col(id_col))
+    return (
+        docs.filter(F.col(key_col).isin(list(quotas)))
+        .withColumn("pick", F.row_number().over(w))
+        # two filters on purpose: the LITERAL max-quota bound is what lets
+        # Catalyst infer WindowGroupLimit (per-key top-N heaps inside the
+        # sort — the key-dependent map lookup alone defeats the rule); the
+        # map lookup then trims each key to its exact quota
+        .filter(F.col("pick") <= F.lit(max(quotas.values(), default=0)))
+        .filter(F.col("pick") <= quota_col)
+    )
+
+
+def uniform_sample(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ the n docs with the smallest order hash (ties by id): a fixed-size
+    uniform corpus sample that is a pure function of the data — reruns,
+    layouts, and SQL replays all pick the same docs. orderBy+limit compiles
+    to TakeOrderedAndProject: per-partition top-n heaps, no global sort.
+    """
+    return docs.orderBy(_order_hash(id_col), F.col(id_col)).limit(n)
 
 
 # portable_hash = first 8 hex chars of md5 → uniform on [0, 2^32)

@@ -458,3 +458,58 @@ def test_sampling_ops(spark):
         got = sorted((r.doc_id, r.n_tokens, r.cum_tokens) for r in variant.collect())
         assert got == ref
         assert got == sorted((r.doc_id, r.n_tokens, r.cum_tokens) for r in variant.collect())
+
+
+def _portable_hash_py(s: str, seed: int) -> int:
+    """Driver-side replica of dense/hash_embed.portable_hash."""
+    import hashlib
+
+    return int(hashlib.md5(f"{s}#{seed}".encode()).hexdigest()[:8], 16)
+
+
+def test_mixture_and_uniform_sample(spark):
+    from splade_spark.curation.sampling import (
+        SEED_SAMPLE, mixture_sample, uniform_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a")for i in range(30)]
+        + [(100 + i, "b") for i in range(20)]
+        + [(200 + i, "c") for i in range(3)]   # undersized source
+        + [(300 + i, "d") for i in range(10)],  # not in the mix at all
+        ["doc_id", "source"],
+    )
+    weights = {"a": 0.5, "b": 0.25, "c": 0.25}
+    out = mixture_sample(docs, weights, total=24)  # quotas 12 / 6 / 6
+    per_key = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_key == {"a": 12, "b": 6, "c": 3}  # c: takes all it has
+    assert "d" not in per_key  # unweighted source dropped
+
+    # growing the total grows each source's prefix (nested per source)
+    small = {r.doc_id for r in out.collect()}
+    big = {r.doc_id for r in mixture_sample(docs, weights, total=48).collect()}
+    assert small <= big
+
+    # deterministic under re-partitioning
+    a = sorted((r.doc_id, r.pick) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.pick)
+        for r in mixture_sample(docs.repartition(7), weights, total=24).collect()
+    )
+    assert a == b
+
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(docs, {"a": 0.0}, total=10)
+
+    # uniform_sample == driver-side sort by the portable hash, any layout
+    expect = sorted(
+        (( _portable_hash_py(str(i), SEED_SAMPLE), i) for i, _ in docs.collect()),
+    )[:7]
+    expect_ids = [i for _, i in expect]
+    got = [r.doc_id for r in uniform_sample(docs, 7).collect()]
+    got2 = [r.doc_id for r in uniform_sample(docs.repartition(13), 7).collect()]
+    assert sorted(got) == sorted(expect_ids) and sorted(got2) == sorted(expect_ids)
+    assert uniform_sample(docs, 10_000).count() == docs.count()  # n > corpus
