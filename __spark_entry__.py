@@ -267,6 +267,19 @@ def _q_langid(spark, sf_dir):
     return langid_heuristic(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "lang_hits")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher repetition rules (curation/textstats.py repetition_stats):
+    duplicate-line fractions + top word-2-gram share, zero-shuffle per-doc
+    map (sorted-gram max-run fold, no explode→groupBy)."""
+    from splade_spark.curation import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_lines", _e6("dup_line_frac"), _e6("dup_line_char_frac"),
+        "top_bigram", "top_bigram_count", _e6("top_bigram_frac"),
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from splade_spark.curation import simhash64
 
@@ -519,6 +532,24 @@ def _q_uniform_sample(spark, sf_dir):
     return uniform_sample(_docs(spark, sf_dir).select("doc_id", "source"), 100)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (curation/sampling.py
+    pack_token_sequences): the corpus token stream in portable-hash order
+    cut into 512-token training sequences, docs spanning boundaries — all
+    integer math over the structural distributed prefix scan."""
+    from splade_spark.curation import pack_token_sequences
+
+    out = pack_token_sequences(_docs(spark, sf_dir).select("doc_id", "text"), 512)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("seq_offset").cast("long").alias("seq_offset"),
+        F.col("doc_offset").cast("long").alias("doc_offset"),
+        F.col("n_in_seq").cast("long").alias("n_in_seq"),
+    )
+
+
 def _q_filtered_scan(spark, sf_dir):
     # P1: the reference's corpus rebuild scan — predicate + projection
     # (collection.query(expr="pk != ''", output_fields=["text"]), main.py:46-53)
@@ -555,9 +586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "mixture_sample": _q_mixture_sample,
         "uniform_sample": _q_uniform_sample,
+        "pack_sequences": _q_pack_sequences,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
+        "repetition_stats": _q_repetition_stats,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_sigs": _q_minhash_sigs,
@@ -1233,6 +1266,35 @@ WHERE pick <= CASE source {" ".join(
 SELECT doc_id, source FROM documents
 ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7331'), 1, 8))::BIGINT, doc_id
 LIMIT 100""",
+        # concat-and-chunk packing: same single-window cumsum as
+        # token_budget_sample, then pure integer slicing per spanned sequence
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, len({_words_expr()})::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#7331'), 1, 8))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS cum
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, cum, cum - n_tokens AS strt FROM c WHERE n_tokens > 0
+),
+e AS (
+  SELECT doc_id, n_tokens, strt, cum,
+         unnest(generate_series(strt // 512, (cum - 1) // 512)) AS seq_id
+  FROM s
+)
+SELECT doc_id, n_tokens, seq_id,
+       greatest(strt - seq_id * 512, 0)::BIGINT AS seq_offset,
+       greatest(seq_id * 512 - strt, 0)::BIGINT AS doc_offset,
+       (least(cum, (seq_id + 1) * 512) - greatest(strt, seq_id * 512))::BIGINT
+         AS n_in_seq
+FROM e""",
         "token_budget_sample": f"""
 WITH t AS (
   SELECT doc_id, len({_words_expr()})::BIGINT AS n_tokens,
@@ -1296,6 +1358,49 @@ SELECT doc_id,
   CAST(round(quality*1e6) AS BIGINT) AS quality_e6
 FROM r""",
         "langid": _langid_sql(),
+        # Gopher repetition rules: dup-line fractions are per-doc list math;
+        # the top 2-gram replays the engine's sorted-max-run fold as
+        # unnest → count → row_number (cnt DESC, gram ASC = the same
+        # lexicographic-min tie-break the sorted fold gives for free)
+        "repetition_stats": f"""
+WITH l AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS lines,
+    {_words_expr()} AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, words,
+    len(lines)::BIGINT AS n_lines,
+    len(list_distinct(lines))::BIGINT AS n_dlines,
+    coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)::BIGINT
+      AS line_chars,
+    coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0)::BIGINT
+      AS dline_chars,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(generate_series(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i + 1])
+         ELSE [] END AS grams
+  FROM l
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM s
+), c AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c
+)
+SELECT s.doc_id, s.n_lines,
+  CAST(round(round((s.n_lines - s.n_dlines) / greatest(s.n_lines, 1), 9) * 1e6) AS BIGINT)
+    AS dup_line_frac_e6,
+  CAST(round(round((s.line_chars - s.dline_chars) / greatest(s.line_chars, 1), 9) * 1e6) AS BIGINT)
+    AS dup_line_char_frac_e6,
+  coalesce(t.gram, '') AS top_bigram,
+  coalesce(t.cnt, 0)::BIGINT AS top_bigram_count,
+  CAST(round(round(coalesce(t.cnt, 0) * 2 / greatest(len(s.words), 1), 9) * 1e6) AS BIGINT)
+    AS top_bigram_frac_e6
+FROM s LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)""",
         "simhash": f"""WITH {base},
 th AS (
   SELECT doc_id, tf, ('0x'||substr(md5(term||'#7'),1,15))::UBIGINT::BIGINT AS h FROM tf

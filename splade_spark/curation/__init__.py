@@ -20,6 +20,7 @@ from splade_spark.curation.dedup import (
 from splade_spark.curation.textstats import (
     langid_heuristic,
     quality_scores,
+    repetition_stats,
     token_stats,
 )
 from splade_spark.curation.fingerprint import (
@@ -30,6 +31,7 @@ from splade_spark.curation.fingerprint import (
 from splade_spark.curation.sampling import (
     capped_per_key_sample,
     mixture_sample,
+    pack_token_sequences,
     token_budget_sample,
     uniform_sample,
 )
@@ -52,12 +54,14 @@ __all__ = [
     "simhash_near_pairs",
     "token_stats",
     "quality_scores",
+    "repetition_stats",
     "langid_heuristic",
     "winnow",
     "winnow_fingerprints",
     "fingerprint_overlap_pairs",
     "capped_per_key_sample",
     "mixture_sample",
+    "pack_token_sequences",
     "token_budget_sample",
     "uniform_sample",
     "byte_histogram_features",

@@ -23,6 +23,11 @@ Two ops a crawl-curation pipeline runs after dedup/quality filtering:
   n, one tiny merge) — no global sort, no single-partition window; scale
   cost is O(n) driver memory only at collect time, the plan itself streams.
 
+* ``pack_token_sequences`` — concat-and-chunk sequence packing: the
+  pretraining layout step ("turn this corpus into S-token training
+  sequences") computed distributively from the same prefix scan — docs span
+  boundaries, slices are pure integer math over the running sum.
+
 * ``token_budget_sample`` — take the deterministic hash-ordered PREFIX of
   the corpus whose cumulative token count fits a budget ("give me ~1B
   tokens of this corpus, reproducibly"). The global running sum is computed
@@ -136,16 +141,13 @@ def uniform_sample(
 _HASH_DOMAIN = 1 << 32
 
 
-def token_budget_sample(
+def _hash_order_cumsum(
     docs: DataFrame,
-    budget_tokens: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_partitions: int | None = None,
+    text_col: str,
+    id_col: str,
+    n_partitions: int | None,
 ) -> DataFrame:
-    """→ (doc_id, n_tokens, cum_tokens): hash-ordered prefix with
-    Σ n_tokens ≤ budget_tokens. ``n_tokens`` is the analyzer word count
-    (same regex as ``token_stats.word_tokens``).
+    """→ (doc_id, n_tokens, cum_tokens): the hash-ordered running token sum.
 
     Distributed prefix scan (see module docstring), structurally consistent:
     the scan bucket ``_pid = (_h · n) div 2^32`` is a deterministic function
@@ -191,6 +193,78 @@ def token_budget_sample(
     return (
         base.join(F.broadcast(offsets), "_pid")
         .withColumn("cum_tokens", F.sum("n_tokens").over(local) + F.col("_off"))
-        .filter(F.col("cum_tokens") <= budget_tokens)
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """→ (doc_id, n_tokens, cum_tokens): hash-ordered prefix with
+    Σ n_tokens ≤ budget_tokens. ``n_tokens`` is the analyzer word count
+    (same regex as ``token_stats.word_tokens``). Built on the structurally
+    deterministic distributed prefix scan (``_hash_order_cumsum``).
+    """
+    return _hash_order_cumsum(docs, text_col, id_col, n_partitions).filter(
+        F.col("cum_tokens") <= budget_tokens
+    )
+
+
+def pack_token_sequences(
+    docs: DataFrame,
+    seq_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    conceptually concatenate every doc's tokens in portable-hash order into
+    one stream, then cut the stream every ``seq_tokens`` tokens. → one row
+    per (doc, sequence) slice:
+
+      doc_id, n_tokens   — the doc and its total token count
+      seq_id             — 0-based training-sequence index
+      seq_offset         — where the slice starts INSIDE the sequence
+      doc_offset         — where the slice starts INSIDE the doc
+      n_in_seq           — slice length (Σ over a doc's rows = n_tokens)
+
+    Docs SPAN sequence boundaries (no padding waste — the standard
+    pretraining trade vs greedy whole-doc packing, whose sequential best-fit
+    recurrence does not distribute). Everything derives from the global
+    running sum: first_seq = cum_excl div S, last_seq = (cum−1) div S, and a
+    doc explodes into one row per spanned sequence — at most
+    ⌈n_tokens/S⌉+1 rows, so the explode is output-bounded. Zero-token docs
+    occupy no stream positions and emit no rows. Deterministic end-to-end:
+    the scan is the structural prefix scan, the slicing is integer math.
+    """
+    cum = _hash_order_cumsum(docs, text_col, id_col, n_partitions).filter(
+        F.col("n_tokens") > 0
+    )
+    cum_excl = (F.col("cum_tokens") - F.col("n_tokens")).alias("_start")
+    s = int(seq_tokens)
+    out = (
+        cum.select("doc_id", "n_tokens", "cum_tokens", cum_excl)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start div {s}"),
+                    F.expr(f"(cum_tokens - 1) div {s}"),
+                )
+            ),
+        )
+        .withColumn("_seq_start", F.col("seq_id") * s)
+        .withColumn("seq_offset", F.greatest(F.col("_start") - F.col("_seq_start"), F.lit(0)))
+        .withColumn("doc_offset", F.greatest(F.col("_seq_start") - F.col("_start"), F.lit(0)))
+        .withColumn(
+            "n_in_seq",
+            F.least(F.col("cum_tokens"), F.col("_seq_start") + s)
+            - F.greatest(F.col("_start"), F.col("_seq_start")),
+        )
+        .select("doc_id", "n_tokens", "seq_id", "seq_offset", "doc_offset", "n_in_seq")
+    )
+    return out

@@ -87,6 +87,91 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ per-doc repetition signals (the Gopher repetition rules, Rae et al.
+    2021 Table A1 — the standard within-document quality filters a crawl
+    pipeline applies before training):
+
+      n_lines             non-empty (after trim) line count
+      dup_line_frac       (n_lines − distinct lines) / n_lines
+      dup_line_char_frac  chars in repeated line occurrences / line chars
+      top_bigram          most frequent word 2-gram (ties → lexicographic min)
+      top_bigram_count    its occurrence count (0 when < 2 words)
+      top_bigram_frac     2·count / word_tokens — token share of the top 2-gram
+
+    ZERO-shuffle per-doc map: line dedup is array_distinct, and the top
+    2-gram comes from a max-run fold over the SORTED gram array (one linear
+    pass; sorted order makes the tie-break the lexicographic min for free) —
+    the same sorted-RLE idiom as build/postings.surface_term_counts, so no
+    explode → groupBy round trip per doc. Intermediates are materialized as
+    projected columns (never inlined into a HOF lambda — re-evaluation trap,
+    CLAUDE.md).
+    """
+    lowered = F.lower(F.col(text_col))
+    d = (
+        docs.withColumn(
+            "_lines",
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            ),
+        )
+        .withColumn("_dlines", F.array_distinct(F.col("_lines")))
+        .withColumn("_words", F.regexp_extract_all(lowered, F.lit(_WORD_RE), 0))
+    )
+    d = d.withColumn(
+        "_sgrams",
+        F.when(
+            F.size("_words") >= 2,
+            F.sort_array(
+                F.zip_with(
+                    F.slice("_words", 1, F.size("_words") - 1),
+                    F.slice("_words", 2, F.size("_words") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best"),
+        F.lit("").alias("bgram"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["best"]  # strict >: first (lexicographic-min) max wins
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bgram"]).alias("bgram"),
+        )
+
+    d = d.withColumn("_top", F.aggregate("_sgrams", acc0, _step))
+    line_chars = F.aggregate("_lines", zero, lambda a, l: a + F.length(l))
+    dline_chars = F.aggregate("_dlines", zero, lambda a, l: a + F.length(l))
+    n_lines = F.size("_lines").cast("long")
+    nl1 = F.greatest(n_lines, F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round((n_lines - F.size("_dlines")) / nl1, 9).alias("dup_line_frac"),
+        F.round(
+            (line_chars - dline_chars)
+            / F.greatest(line_chars, F.lit(1)).cast("double"),
+            9,
+        ).alias("dup_line_char_frac"),
+        F.col("_top")["bgram"].alias("top_bigram"),
+        F.col("_top")["best"].alias("top_bigram_count"),
+        F.round(
+            F.col("_top")["best"] * 2
+            / F.greatest(F.size("_words"), F.lit(1)).cast("double"),
+            9,
+        ).alias("top_bigram_frac"),
+    )
+
+
 def langid_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (doc_id, lang_pred, lang_hits): argmax of profile-stopword hits.
 

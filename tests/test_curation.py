@@ -460,11 +460,100 @@ def test_sampling_ops(spark):
         assert got == sorted((r.doc_id, r.n_tokens, r.cum_tokens) for r in variant.collect())
 
 
+def test_pack_token_sequences(spark):
+    """Concat-and-chunk packing: slices partition each doc exactly, every
+    sequence except the last is exactly full, and the whole layout equals a
+    driver-side replica of the token stream — under any input layout."""
+    from splade_spark.curation.sampling import SEED_SAMPLE, pack_token_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 23)) for i in range(40)],  # includes 0-token docs
+        ["doc_id", "text"],
+    )
+    S = 16
+    out = pack_token_sequences(docs, S).collect()
+
+    per_doc = {}
+    per_seq = {}
+    for r in out:
+        assert 0 <= r.seq_offset < S and 1 <= r.n_in_seq <= S
+        assert 0 <= r.doc_offset < r.n_tokens
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_in_seq
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_in_seq
+    n_tok = {i: i % 23 for i in range(40)}
+    assert per_doc == {i: t for i, t in n_tok.items() if t > 0}  # docs sliced exactly
+    last = max(per_seq)
+    assert all(v == S for s_, v in per_seq.items() if s_ != last)  # full sequences
+    assert set(per_seq) == set(range(last + 1))  # contiguous ids from 0
+
+    # driver-side replica of the concatenated stream
+    order = sorted((_portable_hash_py(str(i), SEED_SAMPLE), i) for i in range(40))
+    expect, pos = set(), 0
+    for _, i in order:
+        t = n_tok[i]
+        if t == 0:
+            continue
+        start, end = pos, pos + t
+        for seq in range(start // S, (end - 1) // S + 1):
+            lo, hi = max(start, seq * S), min(end, (seq + 1) * S)
+            expect.add((i, t, seq, lo - seq * S, lo - start, hi - lo))
+        pos = end
+    got = {
+        (r.doc_id, r.n_tokens, r.seq_id, r.seq_offset, r.doc_offset, r.n_in_seq)
+        for r in out
+    }
+    assert got == expect
+
+    # layout/bucket invariance
+    alt = {
+        (r.doc_id, r.n_tokens, r.seq_id, r.seq_offset, r.doc_offset, r.n_in_seq)
+        for r in pack_token_sequences(docs.repartition(9), S, n_partitions=3).collect()
+    }
+    assert alt == expect
+
+
 def _portable_hash_py(s: str, seed: int) -> int:
     """Driver-side replica of dense/hash_embed.portable_hash."""
     import hashlib
 
     return int(hashlib.md5(f"{s}#{seed}".encode()).hexdigest()[:8], 16)
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition rules on hand-built docs: duplicate-line fractions,
+    top-2-gram selection with lexicographic tie-break, degenerate inputs."""
+    from splade_spark.curation.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd\n\n"),   # dup line + repeated bigram
+            (2, "hello"),                      # single word: no bigrams
+            (3, ""),                           # empty doc
+            (4, "x y x z"),                    # all bigrams tie → lex min
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+
+    r1 = got[1]
+    assert r1.n_lines == 3 and round(r1.dup_line_frac, 9) == round(1 / 3, 9)
+    assert round(r1.dup_line_char_frac, 9) == round(5 / 15, 9)
+    assert (r1.top_bigram, r1.top_bigram_count) == ("aa bb", 2)
+    assert round(r1.top_bigram_frac, 9) == round(4 / 6, 9)
+
+    r2 = got[2]
+    assert (r2.n_lines, r2.dup_line_frac, r2.top_bigram_count) == (1, 0.0, 0)
+    assert r2.top_bigram == "" and r2.top_bigram_frac == 0.0
+
+    r3 = got[3]
+    assert (r3.n_lines, r3.dup_line_frac, r3.dup_line_char_frac) == (0, 0.0, 0.0)
+
+    r4 = got[4]
+    assert (r4.top_bigram, r4.top_bigram_count) == ("x y", 1)  # lex-min tie
+
+    # shuffle-free: per-doc map only — no Exchange/Generate in the plan
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
 
 
 def test_mixture_and_uniform_sample(spark):
