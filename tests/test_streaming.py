@@ -124,3 +124,38 @@ def test_refit_compact_equals_fresh_batch_build(spark, tmp_path):
     bb = sorted(map(tuple, b.blocks(spark).select(*cols).collect()))
     assert ba == bb  # byte-identical blobs
     assert sorted(a.committed_segments()) == sorted(b.committed_segments())
+
+
+def test_curation_stats_run_unchanged_on_streams(spark, tmp_path):
+    """The per-doc curation analytics (token_stats, quality_scores,
+    repetition_stats, langid) are stateless Catalyst projections, so the
+    SAME functions compose onto readStream with no state store, watermark,
+    or code change — streaming output equals batch output row-for-row.
+    (This is the design intent of keeping them pure column math: a crawl
+    pipeline can score quality in-flight, not just in nightly batches.)"""
+    from splade_spark.curation import (
+        langid_heuristic, quality_scores, repetition_stats, token_stats,
+    )
+
+    docs = read_documents(spark, SF_SMALL).select("doc_id", "text").limit(50)
+    src = str(tmp_path / "stats_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    for i, op in enumerate(
+        [token_stats, quality_scores, repetition_stats, langid_heuristic]
+    ):
+        name = f"stats_stream_sink_{i}"
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+        want = {tuple(r) for r in op(docs).collect()}
+        assert got == want, op.__name__
