@@ -372,6 +372,25 @@ def _q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def _q_embedding_dup_clusters(spark, sf_dir):
+    """Channel-agnostic dedup composition: the SAME connected-components
+    engine that clusters MinHash text near-dups (curation/dedup.py
+    near_dup_clusters) over the EMBEDDING near-dup graph — semantic
+    dedup ("these vectors say the same thing") with one canonical survivor
+    per cosine-connected component."""
+    from splade_spark.curation import near_dup_clusters
+    from splade_spark.dense import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    out = near_dup_clusters(emb.select(F.col("vec_id").alias("doc_id")), pairs)
+    return out.select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def _q_splade_topk(spark, sf_dir):
     from splade_spark.build.expansion import expansion_table, topk_splade
     from splade_spark.build.postings import term_freqs
@@ -600,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute_topk,
         "splade_topk_k5": _q_splade_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
         "fingerprint_overlap": _q_fingerprint_overlap,
@@ -1534,6 +1554,27 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
+        # connected components over the cosine near-dup graph: min reachable
+        # vec_id per component (the engine's converged min-label fixpoint)
+        "embedding_dup_clusters": """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM p
+),
+reach AS (
+  SELECT vec_id AS doc, vec_id AS label FROM embeddings
+  UNION
+  SELECT e2.b AS doc, r.label FROM reach r JOIN edges e2 ON e2.a = r.doc
+)
+SELECT doc AS vec_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY doc""",
         "ann_brute_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
 s AS (
