@@ -132,7 +132,12 @@ def uniform_sample(
     """→ the n docs with the smallest order hash (ties by id): a fixed-size
     uniform corpus sample that is a pure function of the data — reruns,
     layouts, and SQL replays all pick the same docs. orderBy+limit compiles
-    to TakeOrderedAndProject: per-partition top-n heaps, no global sort.
+    to TakeOrderedAndProject: per-partition top-n heaps, no global sort —
+    but the final n-row merge is single-node, so this is the right tool for
+    human-scale n (up to ~10^7). For samples that are themselves big data,
+    take a hash-prefix instead: ``token_budget_sample`` (token-budgeted) or
+    a filter on ``_order_hash`` below a threshold (rate-budgeted) keep the
+    result distributed end-to-end.
     """
     return docs.orderBy(_order_hash(id_col), F.col(id_col)).limit(n)
 

@@ -140,3 +140,40 @@ def test_warc_ts_partition_pruning(spark, tmp_path):
 
     docs = docs_from_chunks(chunk_pages(windowed, DEFAULT, use_html=True), DEFAULT)
     assert docs.count() == n
+
+
+def test_sampling_family_degenerate_inputs(spark):
+    """Boundary behavior of the r5 sampling/packing family: zero budgets,
+    oversized heads, absent sources, single-token sequences, empty corpora."""
+    from splade_spark.curation.sampling import (
+        mixture_sample, pack_token_sequences, token_budget_sample, uniform_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + i % 3), f"s{i % 2}") for i in range(12)],
+        ["doc_id", "text", "source"],
+    )
+    empty = docs.filter(F.lit(False))
+
+    # budget 0 → nothing; budget ≥ total → everything
+    assert token_budget_sample(docs, 0, n_partitions=3).count() == 0
+    assert token_budget_sample(docs, 10**9, n_partitions=3).count() == 12
+    # prefix semantics: a head doc larger than the whole budget blocks ALL
+    first = token_budget_sample(docs, 10**9, n_partitions=3).orderBy("cum_tokens").first()
+    assert token_budget_sample(docs, first.n_tokens - 1, n_partitions=3).count() == 0
+
+    # S=1: every token becomes its own full sequence, slices are single-token
+    ones = pack_token_sequences(docs, 1, n_partitions=3).collect()
+    assert all(r.n_in_seq == 1 and r.seq_offset == 0 for r in ones)
+    assert len(ones) == sum(5 + i % 3 for i in range(12))
+
+    # mixture: absent source contributes nothing; total=0 drops everything
+    out = mixture_sample(docs, {"s0": 0.5, "ghost": 0.5}, total=8)
+    assert {r.source for r in out.collect()} == {"s0"}
+    assert mixture_sample(docs, {"s0": 1.0}, total=0).count() == 0
+
+    # uniform: n=0 and empty corpora degrade to empty frames
+    assert uniform_sample(docs, 0).count() == 0
+    assert uniform_sample(empty, 5).count() == 0
+    assert token_budget_sample(empty, 100, n_partitions=2).count() == 0
+    assert pack_token_sequences(empty, 8, n_partitions=2).count() == 0
