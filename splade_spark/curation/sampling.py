@@ -1,6 +1,6 @@
-"""Deterministic corpus sampling for training-data pipelines.
+"""Deterministic corpus sampling and layout for training-data pipelines.
 
-Two ops a crawl-curation pipeline runs after dedup/quality filtering:
+The ops a crawl-curation pipeline runs after dedup/quality filtering:
 
 * ``capped_per_key_sample`` — keep at most ``cap`` docs per key (domain /
   source / language): the standard guard against a single site dominating
@@ -20,8 +20,8 @@ Two ops a crawl-curation pipeline runs after dedup/quality filtering:
 
 * ``uniform_sample`` — deterministic exact-n corpus sample: global top-n by
   the order hash. Compiles to TakeOrderedAndProject (per-partition heaps of
-  n, one tiny merge) — no global sort, no single-partition window; scale
-  cost is O(n) driver memory only at collect time, the plan itself streams.
+  n, one single-node n-row merge) — right for human-scale n; big samples
+  take a hash prefix instead (see the function docstring).
 
 * ``pack_token_sequences`` — concat-and-chunk sequence packing: the
   pretraining layout step ("turn this corpus into S-token training
