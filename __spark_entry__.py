@@ -267,6 +267,27 @@ def _q_langid(spark, sf_dir):
     return langid_heuristic(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "lang_hits")
 
 
+def _q_kmv_vocab(spark, sf_dir):
+    """KMV bottom-k cardinality sketch (curation/sketches.py): corpus
+    distinct-token estimate from the 256 smallest distinct portable token
+    hashes — deterministic, so the ESTIMATE itself is oracle-replayable."""
+    from splade_spark.curation import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(_docs(spark, sf_dir), k=256).select(
+        "n_kmin", "kth_hash", _e6("est_distinct")
+    )
+
+
+def _q_kmv_vocab_by_source(spark, sf_dir):
+    """Per-source KMV vocabulary estimates in one pass (WindowGroupLimit
+    per-key bottom-k) — the template-farm monitor."""
+    from splade_spark.curation import kmv_distinct_tokens_by_key
+
+    return kmv_distinct_tokens_by_key(_docs(spark, sf_dir), k=64).select(
+        "key", "n_kmin", "kth_hash", _e6("est_distinct")
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher repetition rules (curation/textstats.py repetition_stats):
     duplicate-line fractions + top word-2-gram share, zero-shuffle per-doc
@@ -610,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "langid": _q_langid,
         "repetition_stats": _q_repetition_stats,
+        "kmv_vocab": _q_kmv_vocab,
+        "kmv_vocab_by_source": _q_kmv_vocab_by_source,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_sigs": _q_minhash_sigs,
@@ -1378,6 +1401,35 @@ SELECT doc_id,
   CAST(round(quality*1e6) AS BIGINT) AS quality_e6
 FROM r""",
         "langid": _langid_sql(),
+        # KMV bottom-k sketches: hash → DISTINCT → ORDER BY h LIMIT k is the
+        # whole sketch, so DuckDB reproduces estimate bits exactly
+        "kmv_vocab": f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(t || '#90125'), 1, 8))::BIGINT AS h
+  FROM (SELECT unnest({_words_expr()}) AS t FROM documents)
+),
+k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+a AS (SELECT count(*)::BIGINT AS n_kmin, coalesce(max(h), 0)::BIGINT AS kth_hash FROM k)
+SELECT n_kmin, kth_hash,
+  CAST(round(round(CASE WHEN n_kmin < 256 THEN n_kmin::DOUBLE
+                        ELSE 255.0 * 4294967296.0 / kth_hash END, 6) * 1e6) AS BIGINT)
+    AS est_distinct_e6
+FROM a""",
+        "kmv_vocab_by_source": f"""
+WITH t AS (
+  SELECT source AS key, unnest({_words_expr()}) AS tok FROM documents
+),
+h AS (
+  SELECT DISTINCT key, ('0x' || substr(md5(tok || '#90125'), 1, 8))::BIGINT AS h FROM t
+),
+r AS (
+  SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rk FROM h
+)
+SELECT key, count(*)::BIGINT AS n_kmin, max(h)::BIGINT AS kth_hash,
+  CAST(round(round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                        ELSE 63.0 * 4294967296.0 / max(h) END, 6) * 1e6) AS BIGINT)
+    AS est_distinct_e6
+FROM r WHERE rk <= 64 GROUP BY key""",
         # Gopher repetition rules: dup-line fractions are per-doc list math;
         # the top 2-gram replays the engine's sorted-max-run fold as
         # unnest → count → row_number (cnt DESC, gram ASC = the same

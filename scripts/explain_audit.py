@@ -246,6 +246,26 @@ def main() -> None:
             _plan(mixture_sample(sdocs, {"0": 0.5, "1": 0.5}, 10)),
             {"per-key rank prunes in the sort": r"WindowGroupLimit"},
         )
+        from splade_spark.curation.sketches import (
+            kmv_distinct_tokens, kmv_distinct_tokens_by_key,
+        )
+
+        check(
+            "KMV cardinality sketch",
+            _plan(kmv_distinct_tokens(docs, k=64)),
+            {
+                # dedup must start map-side so the exchange carries only
+                # per-partition DISTINCT hashes, and the bottom-k must be
+                # heap-pruned, not globally sorted
+                "partial (map-side) dedup": r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+                "bottom-k via heaps": r"TakeOrderedAndProject",
+            },
+        )
+        check(
+            "KMV per-key sketch",
+            _plan(kmv_distinct_tokens_by_key(docs, k=8, key_col="doc_id")),
+            {"per-key bottom-k prunes in the sort": r"WindowGroupLimit"},
+        )
         check(
             "token-budget prefix scan",
             _plan(token_budget_sample(docs, 1000, n_partitions=4)),

@@ -17,6 +17,10 @@ from splade_spark.curation.dedup import (
     simhash64,
     simhash_near_pairs,
 )
+from splade_spark.curation.sketches import (
+    kmv_distinct_tokens,
+    kmv_distinct_tokens_by_key,
+)
 from splade_spark.curation.textstats import (
     langid_heuristic,
     quality_scores,
@@ -53,6 +57,8 @@ __all__ = [
     "simhash64",
     "simhash_near_pairs",
     "token_stats",
+    "kmv_distinct_tokens",
+    "kmv_distinct_tokens_by_key",
     "quality_scores",
     "repetition_stats",
     "langid_heuristic",

@@ -602,3 +602,43 @@ def test_mixture_and_uniform_sample(spark):
     got2 = [r.doc_id for r in uniform_sample(docs.repartition(13), 7).collect()]
     assert sorted(got) == sorted(expect_ids) and sorted(got2) == sorted(expect_ids)
     assert uniform_sample(docs, 10_000).count() == docs.count()  # n > corpus
+
+
+def test_kmv_distinct_sketches(spark):
+    """KMV cardinality sketch: exact below k, within the 1/√k error band
+    above it, bit-deterministic under re-partitioning, per-key variant
+    agrees with per-key ground truth."""
+    from splade_spark.curation.sketches import (
+        kmv_distinct_tokens, kmv_distinct_tokens_by_key,
+    )
+
+    # 2,000 distinct tokens spread over 100 docs (20 fresh tokens each)
+    big = spark.createDataFrame(
+        [(i, " ".join(f"tok{i*20+j}" for j in range(20)), "a") for i in range(100)],
+        ["doc_id", "text", "source"],
+    )
+    row = kmv_distinct_tokens(big, k=256).collect()[0]
+    assert row.n_kmin == 256
+    assert 2000 * 0.75 <= row.est_distinct <= 2000 * 1.25  # ~6% expected, 25% band
+    again = kmv_distinct_tokens(big.repartition(13), k=256).collect()[0]
+    assert (row.n_kmin, row.kth_hash, row.est_distinct) == (
+        again.n_kmin, again.kth_hash, again.est_distinct
+    )
+
+    # below k the sketch IS the exact count
+    small = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(30)), "b")], ["doc_id", "text", "source"]
+    )
+    srow = kmv_distinct_tokens(small, k=256).collect()[0]
+    assert (srow.n_kmin, srow.est_distinct) == (30, 30.0)
+
+    # per-key: the small key is exact, the big key lands in band
+    both = big.unionByName(small)
+    by_key = {r.key: r for r in kmv_distinct_tokens_by_key(both, k=64).collect()}
+    assert (by_key["b"].n_kmin, by_key["b"].est_distinct) == (30, 30.0)
+    assert 2000 * 0.7 <= by_key["a"].est_distinct <= 2000 * 1.3  # k=64 → wider band
+
+    # empty corpus: a zero row, not an error
+    zrow = kmv_distinct_tokens(big.filter(F.lit(False)), k=16).collect()[0]
+    assert (zrow.n_kmin, zrow.kth_hash, zrow.est_distinct) == (0, 0, 0.0)
+    assert kmv_distinct_tokens_by_key(big.filter(F.lit(False))).count() == 0
