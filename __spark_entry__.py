@@ -210,6 +210,22 @@ def _q_fingerprint_overlap(spark, sf_dir):
     )
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (curation/fingerprint.py
+    decontamination_pairs): training docs sharing ≥16 winnowing fingerprints
+    with the eval subset (doc_id % 10 == 0), scored by the fraction of the
+    EVAL item's fingerprints found in the training doc."""
+    from splade_spark.curation import decontamination_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 10 == 0)
+    out = decontamination_pairs(docs, evals, min_shared=16)
+    return out.select(
+        "doc_id", "eval_id", F.col("shared").cast("long").alias("shared"),
+        _e6("contamination"),
+    )
+
+
 def _blocks(spark, sf_dir):
     """Packed posting blocks for the NOSTEM index (cached)."""
     key = ("blocks", id(spark), sf_dir)
@@ -646,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
         "fingerprint_overlap": _q_fingerprint_overlap,
+        "decontamination": _q_decontamination,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "ivf_refined_topk": _q_ivf_refined_topk,
@@ -1025,6 +1042,28 @@ SELECT doc_a, doc_b, shared,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b"""
+    return _fingerprints_sql(k, w, tail=tail)
+
+
+def _decontamination_sql(
+    min_shared: int = 16, max_fp_df: int = 1000, k: int = 8, w: int = 4
+) -> str:
+    """curation/fingerprint.py decontamination_pairs replayed in SQL:
+    distinct (doc, fp) sets, corpus-side df cap, cross-join against the
+    eval subset (doc_id % 10 = 0), contamination = shared / |eval fps|."""
+    tail = f""", fpd AS (SELECT DISTINCT doc_id, fp FROM fps),
+fp_ok AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= {max_fp_df}),
+c AS (SELECT fpd.* FROM fpd JOIN fp_ok USING (fp)),
+e AS (SELECT doc_id AS eval_id, fp FROM fpd WHERE doc_id % 10 = 0),
+sizes AS (SELECT eval_id, count(*) AS n_fp FROM e GROUP BY eval_id),
+pairs AS (
+  SELECT c.doc_id, e.eval_id, count(*) AS shared
+  FROM c JOIN e USING (fp)
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+)
+SELECT doc_id, eval_id, shared::BIGINT AS shared,
+  CAST(round(round(shared / n_fp, 9) * 1e6) AS BIGINT) AS contamination_e6
+FROM pairs JOIN sizes USING (eval_id)"""
     return _fingerprints_sql(k, w, tail=tail)
 
 
@@ -1649,6 +1688,7 @@ FROM r WHERE rank <= 10""",
         "minhash_near_dups": _minhash_near_dups_sql(),
         "fingerprints": _fingerprints_sql(),
         "fingerprint_overlap": _fingerprint_overlap_sql(),
+        "decontamination": _decontamination_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "ivf_refined_topk": _ivf_ann_sql(refine_iters=1),

@@ -16,6 +16,8 @@ index/train.
   sample   the requested samplers (whichever of --budget-tokens,
            --source-cap, --mix/--mix-total, --uniform-n are given)
   pack     concat-and-chunk sequences (--seq-tokens, default 2048)
+  vocab    KMV distinct-token estimates, global + per-source
+  decontaminate  training docs overlapping --eval-input (fingerprint join)
 
 Prints one JSON line: rows written per output. Ops compose the same public
 functions the driver entries check against DuckDB — this script is plumbing,
@@ -45,6 +47,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="comma list key=weight, e.g. web=0.6,code=0.4")
     ap.add_argument("--mix-total", type=int, default=None)
     ap.add_argument("--uniform-n", type=int, default=None)
+    ap.add_argument("--eval-input", default=None,
+                    help="eval-set parquet for the decontaminate op")
+    ap.add_argument("--min-shared", type=int, default=2,
+                    help="decontaminate: min shared fingerprints to report")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -118,6 +124,24 @@ def main(argv: list[str] | None = None) -> None:
             from splade_spark.curation import pack_token_sequences
 
             _write("pack", pack_token_sequences(docs, args.seq_tokens))
+        elif op == "vocab":
+            from splade_spark.curation import (
+                kmv_distinct_tokens, kmv_distinct_tokens_by_key,
+            )
+
+            _write("vocab_global", kmv_distinct_tokens(docs))
+            if "source" in docs.columns:
+                _write("vocab_by_source", kmv_distinct_tokens_by_key(docs))
+        elif op == "decontaminate":
+            from splade_spark.curation import decontamination_pairs
+
+            if args.eval_input is None:
+                ap.error("--ops decontaminate requires --eval-input")
+            evals = spark.read.parquet(args.eval_input)
+            _write(
+                "decontamination",
+                decontamination_pairs(docs, evals, min_shared=args.min_shared),
+            )
         else:
             ap.error(f"unknown op {op!r}")
 

@@ -28,6 +28,7 @@ from splade_spark.curation.textstats import (
     token_stats,
 )
 from splade_spark.curation.fingerprint import (
+    decontamination_pairs,
     fingerprint_overlap_pairs,
     winnow,
     winnow_fingerprints,
@@ -64,6 +65,7 @@ __all__ = [
     "langid_heuristic",
     "winnow",
     "winnow_fingerprints",
+    "decontamination_pairs",
     "fingerprint_overlap_pairs",
     "capped_per_key_sample",
     "mixture_sample",

@@ -111,6 +111,68 @@ def winnow_fingerprints(
     return docs.select("doc_id", _fp(F.col(text_col)).alias("fingerprints"))
 
 
+def decontamination_pairs(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    min_shared: int = 1,
+    max_fingerprint_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing verbatim passages
+    with an EVALUATION set → (doc_id, eval_id, shared, contamination).
+
+    The standard pre-training hygiene step ("is the test set in the training
+    data?"), as a CROSS-table fingerprint join: the winnowing guarantee means
+    any shared run ≥ w+k−1 chars yields ≥1 shared fingerprint, so recall is
+    structural, not probabilistic. ``contamination`` is ASYMMETRIC by
+    design — shared / |fingerprints(eval doc)|, the fraction of the eval
+    item that leaks — because a tiny benchmark question quoted inside a huge
+    training doc is full contamination of the question, not 0.1 % of the
+    doc. Distinct-set semantics per (doc, fp).
+
+    Scale shape: one equi-join keyed on fingerprint, combiner-friendly pair
+    aggregation, and the ``max_fingerprint_df`` cap (ON by default) is
+    computed on the CORPUS side — boilerplate fragments are the hot keys —
+    while the eval side (small by definition) stays uncapped, so the
+    denominator is the eval doc's full fingerprint set and contamination is
+    conservative-from-below only through capped boilerplate, never through
+    eval truncation.
+    """
+    fps_c = (
+        winnow_fingerprints(corpus, text_col, k, w)
+        .select("doc_id", F.explode("fingerprints").alias("fp"))
+        .distinct()
+    )
+    fps_e = (
+        winnow_fingerprints(eval_docs, text_col, k, w)
+        .select(F.col("doc_id").alias("eval_id"), F.explode("fingerprints").alias("fp"))
+        .distinct()
+    )
+    if max_fingerprint_df is not None:
+        ok = (
+            fps_c.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fingerprint_df)
+            .select("fp")
+        )
+        fps_c = fps_c.join(ok, "fp")
+    sizes_e = fps_e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fps_c.join(fps_e, "fp")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return pairs.join(sizes_e, "eval_id").select(
+        "doc_id",
+        "eval_id",
+        "shared",
+        F.round(F.col("shared") / F.col("n_fp"), 9).alias("contamination"),
+    )
+
+
 def fingerprint_overlap_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -642,3 +642,42 @@ def test_kmv_distinct_sketches(spark):
     zrow = kmv_distinct_tokens(big.filter(F.lit(False)), k=16).collect()[0]
     assert (zrow.n_kmin, zrow.kth_hash, zrow.est_distinct) == (0, 0, 0.0)
     assert kmv_distinct_tokens_by_key(big.filter(F.lit(False))).count() == 0
+
+
+def test_decontamination_pairs(spark):
+    """Cross-corpus train/eval contamination: exact copies score 1.0, quoted
+    passages are detected (winnowing guarantee) with asymmetric scoring,
+    unrelated eval items produce no rows."""
+    from splade_spark.curation import decontamination_pairs
+
+    question = "what is the airspeed velocity of an unladen swallow exactly"
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha reference passage with entirely original content here"),
+            (2, f"a huge corpus page. {question} plus mountains of other text "
+                + "filler " * 40),
+            (3, "gamma unrelated writing about cooking soup and garden herbs"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, "alpha reference passage with entirely original content here"),
+            (101, question),   # tiny eval item quoted inside big doc 2
+            (102, "novel benchmark query regarding quantum flux capacitors"),
+        ],
+        ["doc_id", "text"],
+    )
+    # min_shared=2: a single chance-shared fingerprint (one common ~11-char
+    # substring anywhere) is not contamination evidence, two independent
+    # passages are — the same thresholding logic as fingerprint_overlap_pairs
+    rows = {
+        (r.doc_id, r.eval_id): (r.shared, r.contamination)
+        for r in decontamination_pairs(corpus, evals, min_shared=2).collect()
+    }
+    assert rows[(1, 100)][1] == 1.0  # exact copy: every eval fp found
+    # the tiny question inside the huge doc: high contamination OF THE EVAL
+    # item (asymmetry), despite being a sliver of the training doc
+    assert (2, 101) in rows and rows[(2, 101)][1] > 0.8
+    assert not any(e == 102 for _, e in rows)  # novel item: clean
+    assert not any(d == 3 for d, _ in rows)    # unshared training doc: clean
