@@ -35,7 +35,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, spark=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -55,8 +55,10 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
-    spark = SparkSession.builder.appName("splade-curate").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    owns_spark = spark is None
+    if owns_spark:
+        spark = SparkSession.builder.appName("splade-curate").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(args.input)
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
@@ -146,8 +148,11 @@ def main(argv: list[str] | None = None) -> None:
             ap.error(f"unknown op {op!r}")
 
     print(json.dumps({"written": written}), flush=True)
-    spark.stop()
+    if owns_spark:
+        spark.stop()
+    return written
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
+    sys.exit(0)
