@@ -283,6 +283,19 @@ def _q_langid(spark, sf_dir):
     return langid_heuristic(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "lang_hits")
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Composed Gopher keep/drop decision (curation/textstats.py
+    quality_filter): six named rule flags + the conjunction."""
+    from splade_spark.curation import quality_filter
+
+    out = quality_filter(_docs(spark, sf_dir))
+    flags = ["words_ok", "word_len_ok", "stop_ok", "symbol_ok",
+             "line_rep_ok", "bigram_rep_ok", "keep"]
+    return out.select(
+        "doc_id", *[F.col(f).cast("long").alias(f) for f in flags]
+    )
+
+
 def _q_kmv_vocab(spark, sf_dir):
     """KMV bottom-k cardinality sketch (curation/sketches.py): corpus
     distinct-token estimate from the 256 smallest distinct portable token
@@ -588,6 +601,17 @@ def _q_uniform_sample(spark, sf_dir):
     return uniform_sample(_docs(spark, sf_dir).select("doc_id", "source"), 100)
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (curation/sampling.py
+    split_assign, default 98/1/1): split = pure function of the id hash
+    against driver-computed integer boundaries."""
+    from splade_spark.curation import split_assign
+
+    return split_assign(_docs(spark, sf_dir).select("doc_id", "source")).select(
+        "doc_id", "source", "split"
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (curation/sampling.py
     pack_token_sequences): the corpus token stream in portable-hash order
@@ -642,11 +666,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "mixture_sample": _q_mixture_sample,
         "uniform_sample": _q_uniform_sample,
+        "dataset_split": _q_dataset_split,
         "pack_sequences": _q_pack_sequences,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
         "repetition_stats": _q_repetition_stats,
+        "quality_filter": _q_quality_filter,
         "kmv_vocab": _q_kmv_vocab,
         "kmv_vocab_by_source": _q_kmv_vocab_by_source,
         "simhash": _q_simhash,
@@ -1045,6 +1071,23 @@ JOIN sizes sb ON sb.doc_id = doc_b"""
     return _fingerprints_sql(k, w, tail=tail)
 
 
+def _dataset_split_sql() -> str:
+    """curation/sampling.py split_assign (default 98/1/1) replayed in SQL:
+    the boundary integers come from the SAME helper the engine uses
+    (split_bounds), so no float arithmetic crosses the boundary."""
+    from splade_spark.curation.sampling import SEED_SPLIT, split_bounds
+
+    names, bounds = split_bounds({"train": 0.98, "val": 0.01, "test": 0.01})
+    h = f"('0x' || substr(md5(doc_id::VARCHAR || '#{SEED_SPLIT}'), 1, 8))::BIGINT"
+    whens = " ".join(
+        f"WHEN {h} < {b} THEN '{n}'" for n, b in zip(names[:-1], bounds)
+    )
+    return f"""
+SELECT doc_id, source,
+       CASE {whens} ELSE '{names[-1]}' END AS split
+FROM documents"""
+
+
 def _decontamination_sql(
     min_shared: int = 16, max_fp_df: int = 1000, k: int = 8, w: int = 4
 ) -> str:
@@ -1348,6 +1391,7 @@ WHERE pick <= CASE source {" ".join(
 SELECT doc_id, source FROM documents
 ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7331'), 1, 8))::BIGINT, doc_id
 LIMIT 100""",
+        "dataset_split": _dataset_split_sql(),
         # concat-and-chunk packing: same single-window cumsum as
         # token_budget_sample, then pure integer slicing per spanned sequence
         "pack_sequences": f"""
@@ -1440,6 +1484,60 @@ SELECT doc_id,
   CAST(round(quality*1e6) AS BIGINT) AS quality_e6
 FROM r""",
         "langid": _langid_sql(),
+        # composed Gopher filter: every constituent replays the SAME
+        # expressions as the token_stats / quality_scores /
+        # repetition_stats oracles; flags ship as 0/1 BIGINT
+        "quality_filter": f"""
+WITH b AS (
+  SELECT doc_id, text, {_words_expr()} AS words,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS lines
+  FROM documents
+), st AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS word_tokens,
+    coalesce(list_aggregate(list_transform(words, w -> length(w)), 'sum'), 0)
+      / greatest(len(words), 1) AS mean_word_len,
+    round(len(list_filter(words, w -> list_contains({_stoplist_list_sql()}, w)))
+      / greatest(len(words), 1)::DOUBLE, 9) AS stop_ratio,
+    (length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+     + length(regexp_replace(lower(text), '[^0-9]', '', 'g')))
+      / greatest(length(text), 1) AS symbol_ratio,
+    round((len(lines) - len(list_distinct(lines)))
+      / greatest(len(lines), 1), 9) AS dup_line_frac,
+    round((coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+           - coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0))
+      / greatest(coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0), 1), 9)
+      AS dup_line_char_frac,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(generate_series(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i + 1])
+         ELSE [] END AS grams
+  FROM b
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM st
+), c AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY doc_id
+), fl AS (
+  SELECT st.doc_id,
+    (word_tokens BETWEEN 50 AND 100000) AS words_ok,
+    (mean_word_len BETWEEN 3.0 AND 10.0) AS word_len_ok,
+    (stop_ratio >= 0.02) AS stop_ok,
+    (symbol_ratio <= 0.25) AS symbol_ok,
+    (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20) AS line_rep_ok,
+    (round(coalesce(t.top_cnt, 0) * 2 / greatest(st.word_tokens, 1), 9) <= 0.20)
+      AS bigram_rep_ok
+  FROM st LEFT JOIN top t ON t.doc_id = st.doc_id
+)
+SELECT doc_id,
+  words_ok::BIGINT AS words_ok, word_len_ok::BIGINT AS word_len_ok,
+  stop_ok::BIGINT AS stop_ok, symbol_ok::BIGINT AS symbol_ok,
+  line_rep_ok::BIGINT AS line_rep_ok, bigram_rep_ok::BIGINT AS bigram_rep_ok,
+  (words_ok AND word_len_ok AND stop_ok AND symbol_ok AND line_rep_ok
+   AND bigram_rep_ok)::BIGINT AS keep
+FROM fl""",
         # KMV bottom-k sketches: hash → DISTINCT → ORDER BY h LIMIT k is the
         # whole sketch, so DuckDB reproduces estimate bits exactly
         "kmv_vocab": f"""

@@ -17,6 +17,8 @@ index/train.
            --source-cap, --mix/--mix-total, --uniform-n are given)
   pack     concat-and-chunk sequences (--seq-tokens, default 2048)
   vocab    KMV distinct-token estimates, global + per-source
+  filter   Gopher keep/drop flags + the kept documents
+  split    deterministic train/val/test assignment (98/1/1)
   decontaminate  training docs overlapping --eval-input (fingerprint join)
 
 Prints one JSON line: rows written per output. Ops compose the same public
@@ -134,6 +136,19 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             _write("vocab_global", kmv_distinct_tokens(docs))
             if "source" in docs.columns:
                 _write("vocab_by_source", kmv_distinct_tokens_by_key(docs))
+        elif op == "filter":
+            from splade_spark.curation import quality_filter
+
+            qf = quality_filter(docs)
+            _write("quality_filter", qf)
+            _write(
+                "kept_docs",
+                docs.join(qf.filter(F.col("keep")).select("doc_id"), "doc_id"),
+            )
+        elif op == "split":
+            from splade_spark.curation import split_assign
+
+            _write("split", split_assign(docs))
         elif op == "decontaminate":
             from splade_spark.curation import decontamination_pairs
 

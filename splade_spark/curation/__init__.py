@@ -22,7 +22,9 @@ from splade_spark.curation.sketches import (
     kmv_distinct_tokens_by_key,
 )
 from splade_spark.curation.textstats import (
+    gopher_rules,
     langid_heuristic,
+    quality_filter,
     quality_scores,
     repetition_stats,
     token_stats,
@@ -37,6 +39,7 @@ from splade_spark.curation.sampling import (
     capped_per_key_sample,
     mixture_sample,
     pack_token_sequences,
+    split_assign,
     token_budget_sample,
     uniform_sample,
 )
@@ -60,6 +63,8 @@ __all__ = [
     "token_stats",
     "kmv_distinct_tokens",
     "kmv_distinct_tokens_by_key",
+    "gopher_rules",
+    "quality_filter",
     "quality_scores",
     "repetition_stats",
     "langid_heuristic",
@@ -70,6 +75,7 @@ __all__ = [
     "capped_per_key_sample",
     "mixture_sample",
     "pack_token_sequences",
+    "split_assign",
     "token_budget_sample",
     "uniform_sample",
     "byte_histogram_features",

@@ -23,6 +23,13 @@ The ops a crawl-curation pipeline runs after dedup/quality filtering:
   n, one single-node n-row merge) — right for human-scale n; big samples
   take a hash prefix instead (see the function docstring).
 
+* ``split_assign`` — deterministic train/val/test assignment: each doc's
+  split is a pure function of its id hash against driver-computed integer
+  boundaries (the mixture-quota convention — no float crosses the engine
+  boundary). ``by_col`` switches the hash to a grouping key (source /
+  domain) so an entire group lands in ONE split — the standard guard
+  against near-duplicate leakage between train and test.
+
 * ``pack_token_sequences`` — concat-and-chunk sequence packing: the
   pretraining layout step ("turn this corpus into S-token training
   sequences") computed distributively from the same prefix scan — docs span
@@ -122,6 +129,51 @@ def mixture_sample(
         .filter(F.col("pick") <= F.lit(max(quotas.values(), default=0)))
         .filter(F.col("pick") <= quota_col)
     )
+
+
+SEED_SPLIT = 4177
+
+
+def split_bounds(fractions: dict[str, float]) -> tuple[list[str], list[int]]:
+    """(names, integer hash-domain boundaries) for ``split_assign`` — exposed
+    so SQL replays inline the SAME ints (the mixture-quota convention)."""
+    total = sum(fractions.values())
+    if total <= 0:
+        raise ValueError("split fractions must sum to a positive value")
+    names = list(fractions)
+    bounds = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append(int(acc / total * (1 << 32)))
+    return names, bounds
+
+
+def split_assign(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    by_col: str | None = None,
+) -> DataFrame:
+    """→ input rows + ``split``: deterministic dataset split assignment.
+
+    Boundaries are cumulative ``fractions`` mapped onto the hash domain as
+    INTEGERS on the driver (insertion order of ``fractions`` fixes bucket
+    order; the last bucket absorbs the full remainder so float rounding can
+    never orphan a row). With ``by_col`` the hash key is the group column:
+    every doc of a source/domain gets the SAME split, so near-duplicates
+    within a group cannot straddle the train/test boundary. Adding docs
+    later never moves an existing doc's split (assignment is per-row, not
+    rank-based) — the property that makes the split stable under corpus
+    growth.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names, bounds = split_bounds(fractions)
+    h = portable_hash(F.col(by_col or id_col).cast("string"), SEED_SPLIT)
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(h < b, F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
 
 
 def uniform_sample(

@@ -172,6 +172,71 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_ratio: float = 0.02,
+    max_symbol_ratio: float = 0.25,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_frac: float = 0.20,
+) -> dict[str, "F.Column"]:
+    """The Gopher/C4-style keep rules as named boolean Columns over a frame
+    carrying the per-doc stats (token_stats ⋈ quality_scores ⋈
+    repetition_stats columns). This is the SCALE path: a 100 TB pipeline
+    computes the stats once (curate.py's ``stats`` op persists exactly that
+    join), then filtering is a plain predicate over the stats table — no
+    recomputation, no extra pass. Thresholds default to the published
+    Gopher Table-A1 values where our stats map directly; ``min_stop_ratio``
+    replaces Gopher's "≥2 distinct stop words" with the ratio our
+    quality_scores already computes.
+    """
+    symbol_ratio = (F.col("punct_chars") + F.col("digit_chars")) / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    ).cast("double")
+    return {
+        "words_ok": F.col("word_tokens").between(min_words, max_words),
+        "word_len_ok": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "stop_ok": F.col("stop_ratio") >= min_stop_ratio,
+        "symbol_ok": symbol_ratio <= max_symbol_ratio,
+        "line_rep_ok": (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac),
+        "bigram_rep_ok": F.col("top_bigram_frac") <= max_top_bigram_frac,
+    }
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """→ (doc_id, <rule flags…>, keep): the composed Gopher keep/drop
+    decision. Convenience form: joins the three per-doc stat frames on
+    doc_id and applies ``gopher_rules``. The joins are the gate-scale
+    convenience — see ``gopher_rules`` for the persist-stats-once pattern a
+    real pipeline uses instead.
+    """
+    stats = (
+        token_stats(docs, text_col)
+        .join(quality_scores(docs, text_col).select("doc_id", "stop_ratio"), "doc_id")
+        .join(
+            repetition_stats(docs, text_col).select(
+                "doc_id", "dup_line_frac", "dup_line_char_frac", "top_bigram_frac"
+            ),
+            "doc_id",
+        )
+    )
+    rules = gopher_rules(**thresholds)
+    keep = None
+    for col in rules.values():
+        keep = col if keep is None else (keep & col)
+    return stats.select(
+        "doc_id",
+        *[col.alias(name) for name, col in rules.items()],
+        keep.alias("keep"),
+    )
+
+
 def langid_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (doc_id, lang_pred, lang_hits): argmax of profile-stopword hits.
 

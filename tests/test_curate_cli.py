@@ -19,7 +19,7 @@ def test_curate_all_ops(spark, tmp_path):
         [
             "--input", f"{SF_SMALL}/documents.parquet",
             "--output", out,
-            "--ops", "stats,dedup,sample,pack,vocab,decontaminate",
+            "--ops", "stats,dedup,sample,pack,vocab,filter,split,decontaminate",
             "--budget-tokens", "500",
             "--source-cap", "3",
             "--mix", "src0=0.5,src1=0.5",
@@ -36,6 +36,8 @@ def test_curate_all_ops(spark, tmp_path):
     assert written["sample_mix"] == 6 and written["sample_uniform"] == 10
     assert written["sample_budget"] > 0 and written["sample_capped"] > 0
     assert written["pack"] > 0 and written["vocab_global"] == 1
+    assert written["quality_filter"] == n_docs and written["split"] == n_docs
+    assert written["kept_docs"] <= n_docs
     assert written["vocab_by_source"] > 0
     # corpus decontaminated against itself: every doc matches at least itself
     assert written["decontamination"] >= n_docs

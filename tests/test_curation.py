@@ -681,3 +681,67 @@ def test_decontamination_pairs(spark):
     assert (2, 101) in rows and rows[(2, 101)][1] > 0.8
     assert not any(e == 102 for _, e in rows)  # novel item: clean
     assert not any(d == 3 for d, _ in rows)    # unshared training doc: clean
+
+
+def test_split_assign(spark):
+    """Deterministic dataset splits: fractions land in band, assignment is
+    stable under corpus growth and layout, and by_col keeps whole groups in
+    one split (the near-dup leakage guard)."""
+    from splade_spark.curation.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(2000)], ["doc_id", "source"]
+    )
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert 1500 <= counts["train"] <= 1700  # 80% ± generous hash noise
+    assert 120 <= counts["val"] <= 280 and 120 <= counts["test"] <= 280
+
+    # per-row stability: the split of doc i never changes when the corpus grows
+    small = {r.doc_id: r.split for r in
+             split_assign(docs.filter(F.col("doc_id") < 500)).collect()}
+    full = {r.doc_id: r.split for r in split_assign(docs.repartition(11)).collect()}
+    assert all(full[d] == s for d, s in small.items())
+
+    # group-keyed split: each source entirely inside one split
+    grouped = split_assign(docs, {"train": 0.6, "test": 0.4}, by_col="source")
+    per_source = grouped.groupBy("source").agg(
+        F.count_distinct("split").alias("k")
+    ).collect()
+    assert all(r["k"] == 1 for r in per_source)
+
+    with pytest.raises(ValueError, match="positive"):
+        split_assign(docs, {"train": 0.0})
+
+
+def test_quality_filter_rules(spark):
+    """Composed Gopher keep/drop: each rule fires on a doc built to violate
+    exactly it, and a normal document passes all six."""
+    from splade_spark.curation import quality_filter
+
+    good = " ".join(
+        f"the quick brown fox w{i} jumps over a lazy dog near the river" for i in range(10)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),                                   # words_ok fails
+            (3, " ".join("pneumonoultramicroscopics" for _ in range(60))
+                + " " + good),                                   # word_len high
+            (4, ("zq wx vk jp " * 30) + "alpha beta gamma delta"),  # no stopwords
+            (5, good + " " + "1234567890 !!!" * 120),            # symbol-heavy
+            (6, "\n".join(["a duplicated line of text here"] * 30) + "\n" + good),
+            (7, ("again again " * 120) + good[:60]),             # bigram loop
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality_filter(docs).collect()}
+    assert out[1].keep
+    assert not out[2].words_ok and not out[2].keep
+    assert not out[3].word_len_ok and not out[3].keep
+    assert not out[4].stop_ok and not out[4].keep
+    assert not out[5].symbol_ok and not out[5].keep
+    assert not out[6].line_rep_ok and not out[6].keep
+    assert not out[7].bigram_rep_ok and not out[7].keep
